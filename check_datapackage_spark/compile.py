@@ -1,0 +1,285 @@
+"""Check compiler: TableSpec → fused single-pass column predicates.
+
+Each constraint (C1–C10, SURVEY.md §2.3) compiles to a
+:class:`CompiledCheck` holding a boolean ``ok`` Column (true = row
+passes) plus the Issue metadata to emit when it fails. All compiled
+checks for a table are fused into ONE ``select`` (violation structs) and
+ONE ``agg`` (summary counts) — the reference walks the document once
+(``check.py:561``); we scan the table once.
+
+The per-check ``Issue.type`` strings equal the jsonschema keyword names,
+matching the reference's ``Issue.type`` contract (e.g. ``required``,
+``pattern``, ``enum``, ``minimum`` — see SURVEY.md §2.3 table).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .functions import string_format_ok, type_conforms
+from .spec import Constraints, FieldSpec, TableSpec
+
+
+@dataclass
+class CompiledCheck:
+    """One check compiled to a vectorized predicate.
+
+    ``ok`` is a boolean Column (true ⇒ pass). ``instance`` is the value
+    to surface in the violation row (stringified).
+    """
+
+    name: str  # unique check id, e.g. "doc_id.required"
+    column: Optional[str]  # checked column (None for table-level)
+    issue_type: str  # reference Issue.type (jsonschema keyword)
+    message: str
+    ok: Column
+    instance: Column
+
+
+def _fmt(v) -> str:
+    if isinstance(v, str):
+        return f"'{v}'"
+    return repr(v)
+
+
+def compile_field_checks(
+    field: FieldSpec, table_name: str, actual_type: Optional[str] = None
+) -> list[CompiledCheck]:
+    """Compile one field's declaration into predicate checks.
+
+    Covers C1 required, C2 type, C3 format, C4 pattern, C5 enum,
+    C6 range, C7 length. Uniqueness (C11) and referential (R5) need
+    shuffles/joins and are separate operators (``operators.uniqueness``,
+    ``operators.referential``).
+
+    ``actual_type`` is the physical Spark type name of the column when
+    known: the C2 string-staging parse check only applies to string
+    columns — natively-typed columns get structural conformance via
+    :func:`schema_conforms` (driver-side, zero data cost) instead.
+    """
+    c = field.constraints
+    col = F.col(field.name)
+    checks: list[CompiledCheck] = []
+    inst = col.cast("string")
+
+    def add(kind: str, issue_type: str, message: str, ok: Column) -> None:
+        checks.append(
+            CompiledCheck(
+                name=f"{field.name}.{kind}",
+                column=field.name,
+                issue_type=issue_type,
+                message=message,
+                ok=ok,
+                instance=inst,
+            )
+        )
+
+    # C1 required — null check (ref required keyword; MISSING marker →
+    # NULL instance per issue.py contract).
+    if c.required:
+        add(
+            "required",
+            "required",
+            f"{field.name} is a required property",
+            col.isNotNull(),
+        )
+
+    # C2 type conformance — only meaningful for string-staged columns;
+    # natively-typed columns are verified structurally (schema_conforms).
+    if actual_type in (None, "string") and field.type != "string":
+        add(
+            "type",
+            "type",
+            f"value is not of type '{field.type}'",
+            type_conforms(col, field.type, field.format),
+        )
+    elif field.type == "string" and actual_type in (None, "string"):
+        # format conformance doubles as the string 'type' check surface
+        pass
+
+    # C3 string format.
+    if field.type == "string" and field.format not in (None, "default"):
+        add(
+            "format",
+            "format",
+            f"value does not conform to format '{field.format}'",
+            string_format_ok(col, field.format),
+        )
+
+    # C4 pattern (NULLs pass — required owns nulls).
+    if c.pattern is not None:
+        add(
+            "pattern",
+            "pattern",
+            f"value does not match pattern '{c.pattern}'",
+            col.isNull() | col.rlike(c.pattern),
+        )
+
+    # C5 enum — small literal set → isin (Catalyst folds to an
+    # InSet/bloom check); large sets use the broadcast anti-join
+    # operator instead (operators.referential).
+    if c.enum is not None:
+        add(
+            "enum",
+            "enum",
+            f"value is not one of {list(c.enum)!r}",
+            col.isNull() | col.isin(*c.enum),
+        )
+
+    # C6 range.
+    if c.minimum is not None:
+        add(
+            "minimum",
+            "minimum",
+            f"value is less than the minimum of {_fmt(c.minimum)}",
+            col.isNull() | (col >= F.lit(c.minimum)),
+        )
+    if c.maximum is not None:
+        add(
+            "maximum",
+            "maximum",
+            f"value is greater than the maximum of {_fmt(c.maximum)}",
+            col.isNull() | (col <= F.lit(c.maximum)),
+        )
+    if c.exclusive_minimum is not None:
+        add(
+            "exclusiveMinimum",
+            "exclusiveMinimum",
+            f"value is less than or equal to the exclusive minimum of {_fmt(c.exclusive_minimum)}",
+            col.isNull() | (col > F.lit(c.exclusive_minimum)),
+        )
+    if c.exclusive_maximum is not None:
+        add(
+            "exclusiveMaximum",
+            "exclusiveMaximum",
+            f"value is greater than or equal to the exclusive maximum of {_fmt(c.exclusive_maximum)}",
+            col.isNull() | (col < F.lit(c.exclusive_maximum)),
+        )
+
+    # C7 length — chars for string, size() for collections.
+    if c.min_length is not None or c.max_length is not None:
+        length = (
+            F.length(col)
+            if field.type == "string"
+            else F.size(col)
+        )
+        if c.min_length is not None:
+            add(
+                "minLength",
+                "minLength",
+                f"length is less than the minimum of {c.min_length}",
+                col.isNull() | (length >= F.lit(c.min_length)),
+            )
+        if c.max_length is not None:
+            add(
+                "maxLength",
+                "maxLength",
+                f"length is greater than the maximum of {c.max_length}",
+                col.isNull() | (length <= F.lit(c.max_length)),
+            )
+
+    return checks
+
+
+def compile_invariant(
+    name: str,
+    ok: Column,
+    issue_type: str,
+    message: str,
+    column: Optional[str] = None,
+    instance: Optional[Column] = None,
+) -> CompiledCheck:
+    """Compile an ad-hoc row invariant (e.g. ``size(tokens) == n_tok``,
+    the BASELINE per-row token-array invariant) into a check."""
+    return CompiledCheck(
+        name=name,
+        column=column,
+        issue_type=issue_type,
+        message=message,
+        ok=ok,
+        instance=(instance if instance is not None else F.lit(None)).cast("string"),
+    )
+
+
+def compile_table_checks(
+    spec: TableSpec,
+    extra: Optional[list[CompiledCheck]] = None,
+    schema=None,
+) -> list[CompiledCheck]:
+    """All row-level checks for a table, in canonical field order.
+
+    ``schema`` (a StructType, optional) routes C2 between the
+    string-staging parse check and structural conformance.
+    """
+    actual = (
+        {f.name: f.dataType.typeName() for f in schema.fields} if schema else {}
+    )
+    checks: list[CompiledCheck] = []
+    for field in spec.fields:
+        checks.extend(
+            compile_field_checks(field, spec.name, actual_type=actual.get(field.name))
+        )
+    if extra:
+        checks.extend(extra)
+    return checks
+
+
+def schema_conforms(df: DataFrame, spec: TableSpec) -> list:
+    """Driver-side structural C2: natively-typed columns vs declared types.
+
+    For typed parquet/Iceberg columns type conformance is a property of
+    the file schema, not the rows — compare ``df.schema`` to the expected
+    Spark type family (SURVEY §1.3 table). Returns spec-level Issues.
+    """
+    from .issue import Issue
+
+    expected_families = {
+        "string": {"string"},
+        "number": {"double", "float", "decimal"},
+        "integer": {"int", "integer", "long", "bigint", "smallint", "tinyint"},
+        "boolean": {"boolean"},
+        "date": {"date", "string"},
+        "time": {"string"},
+        "datetime": {"timestamp", "timestamp_ntz", "string"},
+        "year": {"int", "integer", "string"},
+        "yearmonth": {"string"},
+        "object": {"map", "struct", "string", "variant"},
+        "geojson": {"string", "variant"},
+        "geopoint": {"array", "string"},
+        "array": {"array", "string"},
+        "duration": {"string", "interval"},
+        "any": None,
+    }
+    issues = []
+    actual = {f.name: f.dataType.typeName() for f in df.schema.fields}
+    for i, fs in enumerate(spec.fields):
+        fam = expected_families.get(fs.type)
+        if fam is None:
+            continue
+        tn = actual.get(fs.name)
+        if tn is None:
+            issues.append(
+                Issue(
+                    jsonpath=f"$.{spec.name}.schema.fields[{i}].name",
+                    type="required",
+                    message=f"column '{fs.name}' declared in the spec is missing from the table",
+                    instance=None,
+                )
+            )
+        elif not any(tn.startswith(x) for x in fam):
+            issues.append(
+                Issue(
+                    jsonpath=f"$.{spec.name}.schema.fields[{i}].type",
+                    type="type",
+                    message=(
+                        f"column '{fs.name}' has Spark type '{tn}' which does "
+                        f"not conform to declared type '{fs.type}'"
+                    ),
+                    instance=tn,
+                )
+            )
+    return issues

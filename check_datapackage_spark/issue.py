@@ -1,0 +1,138 @@
+"""Violation/issue model.
+
+Re-expresses the reference's ``Issue`` contract
+(``/root/reference/src/check_datapackage/issue.py:20-52``) as both a
+driver-side dataclass (for spec-level checks, which never touch data) and
+a Spark row schema (for data-plane violations emitted by the fused
+validation plan).
+
+Reference semantics preserved:
+
+* ``Issue`` is frozen + ordered; ``instance`` is excluded from
+  equality/hash (``issue.py:52`` → our dedup key is
+  ``(jsonpath, type, message)``).
+* The ``MISSING`` marker (``issue.py:5-17``) renders as ``<MISSING>``;
+  in the data plane a missing value is SQL ``NULL`` in the ``instance``
+  column with ``type='required'``.
+* ``check()`` returns ``sorted(set(issues))``
+  (``check.py:279``) → :func:`finalize_issues` /
+  :func:`finalize_violations`.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+class MissingValue:
+    """Singleton marker for a missing required property (ref issue.py:5-17)."""
+
+    _instance: Optional["MissingValue"] = None
+
+    def __new__(cls) -> "MissingValue":
+        if cls._instance is None:
+            cls._instance = super().__new__(cls)
+        return cls._instance
+
+    def __repr__(self) -> str:  # pragma: no cover - trivial
+        return "<MISSING>"
+
+
+MISSING = MissingValue()
+
+
+@dataclass(frozen=True, order=True)
+class Issue:
+    """One validation issue (ref issue.py:20-52).
+
+    ``instance`` carries the offending value but is excluded from
+    comparison and hashing, exactly like the reference's
+    ``field(compare=False, hash=False)``.
+    """
+
+    jsonpath: str
+    type: str
+    message: str
+    instance: Any = field(default=None, compare=False, hash=False)
+
+
+def finalize_issues(issues: list[Issue]) -> list[Issue]:
+    """Dedup on (jsonpath, type, message) + canonical sort (ref check.py:279)."""
+    return sorted(set(issues))
+
+
+# ---------------------------------------------------------------------------
+# Data-plane violation rows
+# ---------------------------------------------------------------------------
+
+#: Core violation columns, mirroring Issue(jsonpath, type, message, instance).
+#: ``instance`` is stringified (values may be any source type).
+VIOLATION_SCHEMA = T.StructType(
+    [
+        T.StructField("jsonpath", T.StringType(), False),
+        T.StructField("type", T.StringType(), False),
+        T.StructField("message", T.StringType(), False),
+        T.StructField("instance", T.StringType(), True),
+    ]
+)
+
+#: Extended schema adds engine context: which check fired, where in the data.
+VIOLATION_FULL_SCHEMA = T.StructType(
+    list(VIOLATION_SCHEMA.fields)
+    + [
+        T.StructField("check", T.StringType(), False),
+        T.StructField("column", T.StringType(), True),
+        T.StructField("row_key", T.StringType(), True),
+        T.StructField("partition", T.StringType(), True),
+    ]
+)
+
+VIOLATION_COLUMNS = [f.name for f in VIOLATION_FULL_SCHEMA.fields]
+
+#: Dedup key matching Issue equality (instance excluded, issue.py:52).
+DEDUP_KEY = ["jsonpath", "type", "message"]
+
+
+def finalize_violations(violations: DataFrame) -> DataFrame:
+    """DataFrame analog of ``sorted(set(issues))`` (ref check.py:279).
+
+    ``dropDuplicates`` on the Issue equality key then canonical order.
+    At scale this is a hash-aggregate distinct (partial + final) and a
+    global sort only materialized on collect — identical cost profile to
+    a groupBy, no driver involvement.
+    """
+    key = [c for c in DEDUP_KEY if c in violations.columns]
+    return violations.dropDuplicates(key).orderBy(*[F.col(c) for c in key])
+
+
+def issues_from_rows(rows: list) -> list[Issue]:
+    """Convert collected violation rows back to driver-side Issues."""
+    return [
+        Issue(
+            jsonpath=r["jsonpath"],
+            type=r["type"],
+            message=r["message"],
+            instance=r["instance"],
+        )
+        for r in rows
+    ]
+
+
+class DataPackageError(Exception):
+    """Raised when error-mode checks find issues (ref check.py:161-169)."""
+
+
+def explain(issues: list[Issue]) -> str:
+    """Human report (ref check.py:172-214): header + one line per issue."""
+    n = len(issues)
+    header = f"{n} issue(s) were found in your data.\n"
+    lines = []
+    for issue in issues:
+        inst = "<MISSING>" if isinstance(issue.instance, MissingValue) else issue.instance
+        lines.append(f"  {issue.jsonpath} [{issue.type}]: {issue.message} (value: {inst!r})")
+    return header + "\n".join(lines)

@@ -1,0 +1,95 @@
+"""Referential integrity (R5 data-plane) — broadcast anti-join.
+
+The reference checks FK *declarations* only
+(``_check_fk_dest_fields_diff_resource``, check.py:474-513); this is the
+data-plane analog from BASELINE.json: every fact key must exist in the
+dimension.
+
+Scale design: the dimension's distinct key set is small (allowed
+``source`` values ≈ hundreds) → ``F.broadcast`` makes the anti-join a
+map-side hash lookup with ZERO shuffle of the fact table. For large
+dimensions drop the broadcast hint and let AQE pick (it still converts
+to broadcast at runtime if the built side is under the threshold).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..issue import VIOLATION_COLUMNS
+
+
+def missing_keys(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_keys: Sequence[str],
+    dim_keys: Optional[Sequence[str]] = None,
+    broadcast: bool = True,
+) -> DataFrame:
+    """Fact rows whose key is absent from the dimension (NOT EXISTS).
+
+    NULL fact keys are excluded — null-ness is C1's job, mirroring SQL FK
+    semantics where NULL references are not violations.
+    """
+    dim_keys = list(dim_keys or fact_keys)
+    fact_keys = list(fact_keys)
+    keyed = dim.select(
+        *[F.col(d).alias(f) for f, d in zip(fact_keys, dim_keys)]
+    ).dropDuplicates(fact_keys)
+    if broadcast:
+        keyed = F.broadcast(keyed)
+    non_null = fact
+    for k in fact_keys:
+        non_null = non_null.where(F.col(k).isNotNull())
+    return non_null.join(keyed, on=fact_keys, how="left_anti")
+
+
+def referential_violations(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_keys: Sequence[str],
+    dim_keys: Sequence[str],
+    table_name: str,
+    dim_name: str,
+    row_key: Optional[str] = None,
+    partition: Optional[str] = None,
+    broadcast: bool = True,
+) -> DataFrame:
+    """Violation rows for FK misses (VIOLATION_FULL_SCHEMA)."""
+    fact_keys = list(fact_keys)
+    misses = missing_keys(fact, dim, fact_keys, dim_keys, broadcast=broadcast)
+    key_str = F.concat_ws("|", *[F.col(k).cast("string") for k in fact_keys])
+    col_name = ",".join(fact_keys)
+    if isinstance(row_key, (list, tuple)):
+        rk_cols = [k for k in row_key if k in fact.columns]
+        rk = (
+            F.concat_ws("|", *[F.col(k).cast("string") for k in rk_cols])
+            if rk_cols
+            else key_str
+        )
+    elif row_key and row_key in fact.columns:
+        rk = F.col(row_key).cast("string")
+    else:
+        rk = key_str
+    part = (
+        F.col(partition).cast("string")
+        if partition and partition in fact.columns
+        else F.lit(None).cast("string")
+    )
+    return misses.select(
+        F.concat(
+            F.lit(f"$.{table_name}["), rk, F.lit(f"].{col_name}")
+        ).alias("jsonpath"),
+        F.lit("foreign-key").alias("type"),
+        F.lit(
+            f"value of `{col_name}` not found in `{dim_name}`"
+        ).alias("message"),
+        key_str.alias("instance"),
+        F.lit(f"{col_name}.foreign-key").alias("check"),
+        F.lit(col_name).alias("column"),
+        rk.alias("row_key"),
+        part.alias("partition"),
+    ).select(*VIOLATION_COLUMNS)

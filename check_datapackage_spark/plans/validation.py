@@ -1,0 +1,356 @@
+"""The fused single-pass validation plan.
+
+The reference walks the JSON document once and collects ALL violations
+(``check.py:544-561`` — "All schema violations are collected"). Our plan
+does the table analog in one scan:
+
+* **violations**: every compiled check becomes a
+  ``when(~ok, struct(...))`` element of one array; ``filter`` + one
+  ``explode`` yields violation rows. No shuffle, no Python — the whole
+  expression runs inside whole-stage codegen, and Catalyst prunes the
+  scan down to exactly the checked columns.
+* **summary**: one ``groupBy(partition).agg`` of
+  ``sum(when(~ok, 1))`` per check — the per-partition pass/fail matrix.
+  Partial aggregation (map-side combine) makes this one light shuffle of
+  |partitions| × |checks| longs regardless of table size.
+
+Never ``limit`` violations (mirror the reference's no-short-circuit
+rule, SURVEY §4); optionally cap *persisted examples* per check with a
+deterministic filter, summaries stay complete.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field as dc_field
+from typing import Optional, Sequence, Union
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..compile import CompiledCheck
+from ..issue import VIOLATION_COLUMNS, finalize_violations
+from ..spec import CheckConfig, Exclusion, TableSpec
+
+
+def _jsonpath_col(table: str, row_key: Optional[Column], column: Optional[str]) -> Column:
+    """Build ``$.<table>[<row_key>].<column>`` — the data-plane analog of
+    the reference's jsonpath addresses (FIXTURES.md F4 contract)."""
+    parts = [F.lit(f"$.{table}[")]
+    parts.append(
+        F.coalesce(row_key.cast("string"), F.lit("?")) if row_key is not None else F.lit("*")
+    )
+    parts.append(F.lit("]"))
+    if column:
+        parts.append(F.lit(f".{column}"))
+    return F.concat(*parts)
+
+
+def violations_plan(
+    df: DataFrame,
+    checks: Sequence[CompiledCheck],
+    table_name: str,
+    row_key: Optional[Union[str, list]] = None,
+    partition: Optional[str] = None,
+) -> DataFrame:
+    """One-scan violation extraction.
+
+    Emits the VIOLATION_FULL_SCHEMA columns. ``row_key``/``partition``
+    name columns of ``df`` used for addressing and context. ``row_key``
+    may be a list of columns (composite key → ``a|b`` address). With no
+    key at all, a positional id stands in for the reference's ``[i]``
+    array index (distinct rows must yield distinct jsonpaths, or the
+    Issue-contract dedup would collapse them).
+    """
+    if not checks:
+        return df.sparkSession.createDataFrame([], schema=_empty_schema())
+
+    if row_key is None:
+        key_col = F.monotonically_increasing_id().cast("string")
+    elif isinstance(row_key, (list, tuple)):
+        key_col = F.concat_ws("|", *[F.col(k).cast("string") for k in row_key])
+    else:
+        key_col = F.col(row_key)
+    part_col = F.col(partition).cast("string") if partition else F.lit(None).cast("string")
+
+    elems = []
+    for ck in checks:
+        struct = F.struct(
+            _jsonpath_col(table_name, key_col, ck.column).alias("jsonpath"),
+            F.lit(ck.issue_type).alias("type"),
+            F.lit(ck.message).alias("message"),
+            ck.instance.alias("instance"),
+            F.lit(ck.name).alias("check"),
+            F.lit(ck.column).cast("string").alias("column"),
+            (key_col.cast("string") if key_col is not None else F.lit(None).cast("string")).alias(
+                "row_key"
+            ),
+            part_col.alias("partition"),
+        )
+        elems.append(F.when(~ck.ok, struct))
+
+    arr = F.array_compact(F.array(*elems))
+    out = (
+        df.select(arr.alias("_v"))
+        .where(F.size("_v") > 0)
+        .select(F.explode("_v").alias("v"))
+        .select([F.col(f"v.{c}").alias(c) for c in VIOLATION_COLUMNS])
+    )
+    return out
+
+
+def _empty_schema():
+    from ..issue import VIOLATION_FULL_SCHEMA
+
+    return VIOLATION_FULL_SCHEMA
+
+
+def summary_plan(
+    df: DataFrame,
+    checks: Sequence[CompiledCheck],
+    partition: Optional[str] = None,
+) -> DataFrame:
+    """Per-partition pass/fail matrix in one agg pass.
+
+    Output: (partition, check, column, type, n_rows, fail_count, passed)
+    — long form, one row per (partition, check). The wide agg happens
+    first (one shuffle of tiny partial aggregates), then a driver-free
+    ``stack`` unpivot.
+    """
+    if not checks:
+        return df.sparkSession.createDataFrame(
+            [],
+            schema=(
+                "partition string, n_rows long, check string, column string,"
+                " type string, fail_count long, passed boolean"
+            ),
+        ).drop(*([] if partition else ["partition"]))
+
+    group = [F.col(partition).cast("string").alias("partition")] if partition else []
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for i, ck in enumerate(checks):
+        aggs.append(
+            F.sum(F.when(~ck.ok, F.lit(1)).otherwise(F.lit(0))).alias(f"_c{i}")
+        )
+    wide = df.groupBy(*group).agg(*aggs)
+
+    # unpivot via stack — stays distributed, no collect
+    n = len(checks)
+    stack_args = []
+    for i, ck in enumerate(checks):
+        stack_args.append(f"'{ck.name}', '{ck.column or ''}', '{ck.issue_type}', _c{i}")
+    stack_expr = f"stack({n}, {', '.join(stack_args)}) as (check, column, type, fail_count)"
+    cols = (["partition"] if partition else []) + ["n_rows"]
+    long = wide.selectExpr(*cols, stack_expr).withColumn(
+        "passed", F.col("fail_count") == 0
+    )
+    return long
+
+
+# ---------------------------------------------------------------------------
+# Exclusions (ref exclusion.py:50-84 → filter on the violations DataFrame)
+# ---------------------------------------------------------------------------
+
+
+def _wildcard_to_regex(path: str) -> str:
+    """Reference wildcard-path semantics (exclusion.py:81-84): ``*``
+    matches one path segment / index."""
+    out = []
+    for chunk in re.split(r"(\*)", path):
+        if chunk == "*":
+            out.append(r"[^.\[\]]+")
+        else:
+            out.append(re.escape(chunk))
+    return "^" + "".join(out) + "$"
+
+
+def exclusion_filter(violations: DataFrame, exclusions: Sequence[Exclusion]) -> DataFrame:
+    """Drop violations matching any exclusion.
+
+    AND within one exclusion, OR across exclusions; empty exclusion
+    matches nothing (ref exclusion.py:50-78). Compiled to a single
+    vectorized predicate — no join needed since exclusion lists are tiny
+    and driver-resident.
+    """
+    conds: list[Column] = []
+    for ex in exclusions:
+        if ex.is_empty():
+            continue
+        sub: list[Column] = []
+        if ex.jsonpath is not None:
+            sub.append(F.col("jsonpath").rlike(_wildcard_to_regex(ex.jsonpath)))
+        if ex.type is not None:
+            sub.append(F.col("type") == ex.type)
+        cond = sub[0]
+        for s in sub[1:]:
+            cond = cond & s
+        conds.append(cond)
+    if not conds:
+        return violations
+    matched = conds[0]
+    for c in conds[1:]:
+        matched = matched | c
+    return violations.where(~matched)
+
+
+def cap_examples(
+    violations: DataFrame, max_per_check: int, partition: bool = True
+) -> DataFrame:
+    """Deterministically cap persisted example rows per (check, partition).
+
+    Window row_number over (check, partition) ordered by jsonpath — used
+    only for the persisted-examples sink; summaries never pass through
+    this (SURVEY §4 short-circuit note).
+    """
+    from pyspark.sql import Window as W
+
+    keys = ["check"] + (["partition"] if partition else [])
+    w = W.partitionBy(*keys).orderBy("jsonpath")
+    return (
+        violations.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= max_per_check)
+        .drop("_rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Orchestration — the check() analog (ref check.py:250-291)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class ValidationResult:
+    """Outcome of a full table validation run."""
+
+    spec_issues: list  # driver-side Issues (spec-level, structural)
+    violations: DataFrame  # data-plane violation rows (full schema)
+    summary: DataFrame  # per-partition pass/fail matrix
+
+    def passed(self) -> bool:
+        """True iff no spec issues and no data violations (triggers jobs)."""
+        return not self.spec_issues and self.violations.isEmpty()
+
+
+def check_table(
+    df: DataFrame,
+    spec: TableSpec,
+    config: Optional[CheckConfig] = None,
+    dims: Optional[dict[str, DataFrame]] = None,
+    extra_checks: Optional[list[CompiledCheck]] = None,
+) -> ValidationResult:
+    """Full validation lifecycle — the engine's ``check()`` analog.
+
+    Mirrors ref check.py:250-291 staging:
+      1. spec self-validation (driver; ref Draft7Validator.check_schema)
+      2. structural schema conformance (driver; C2 for typed columns)
+      3. fused row-level checks (one scan; C1–C10)
+      4. key checks *gated on spec validity* (ref check.py:330-337):
+         uniqueness (C11) and referential (R5) — only when the declaring
+         property had no structural issue
+      5. exclusions filter (ref exclusion.py)
+      6. dedup + canonical order (ref check.py:279)
+    """
+    from ..compile import compile_table_checks, schema_conforms
+    from ..operators.referential import referential_violations
+    from ..operators.uniqueness import uniqueness_violations
+    from ..spec import validate_spec, validate_spec_against
+
+    config = config or CheckConfig()
+    dims = dims or {}
+
+    spec_issues = list(validate_spec(spec))
+    spec_issues.extend(schema_conforms(df, spec))
+
+    checks = compile_table_checks(spec, extra=extra_checks, schema=df.schema)
+    actual_cols = set(df.columns)
+    runnable = [c for c in checks if c.column is None or c.column in actual_cols]
+    pk_present = [k for k in spec.primary_key if k in actual_cols]
+    row_key: Optional[Union[str, list]]
+    if len(pk_present) == 1:
+        row_key = pk_present[0]
+    elif pk_present:
+        row_key = pk_present
+    else:
+        row_key = None
+    partition = spec.partition_by[0] if spec.partition_by else None
+
+    v = violations_plan(df, runnable, spec.name, row_key=row_key, partition=partition)
+    parts = [v]
+
+    # Gate (R1, ref check.py:330-337): skip data-level key checks whose
+    # declaration is itself broken.
+    bad_paths = {i.jsonpath for i in spec_issues}
+
+    pk_ok = spec.primary_key and not any("primaryKey" in p for p in bad_paths)
+    if pk_ok and all(k in actual_cols for k in spec.primary_key):
+        parts.append(
+            uniqueness_violations(
+                df, list(spec.primary_key), spec.name, partition=partition
+            )
+        )
+    for cols in spec.unique_keys:
+        if all(k in actual_cols for k in cols):
+            parts.append(
+                uniqueness_violations(df, list(cols), spec.name, partition=partition)
+            )
+    for fs in spec.fields:
+        if fs.constraints.unique and fs.name in actual_cols and (fs.name,) != spec.primary_key:
+            parts.append(
+                uniqueness_violations(df, [fs.name], spec.name, partition=partition)
+            )
+
+    for j, fk in enumerate(spec.foreign_keys):
+        if any(f"foreignKeys[{j}]" in p for p in bad_paths):
+            continue
+        dest_df = df if not fk.reference_resource else dims.get(fk.reference_resource)
+        if dest_df is None:
+            continue
+        if fk.reference_resource and fk.reference_resource in dims:
+            # declaration-level cross-resource check needs the dest spec;
+            # here dims are DataFrames so only existence was checkable —
+            # field existence validated against the DataFrame columns.
+            missing = [c for c in fk.reference_fields if c not in dest_df.columns]
+            if missing:
+                spec_issues.extend(
+                    validate_spec_against(
+                        spec,
+                        {
+                            fk.reference_resource: TableSpec(
+                                name=fk.reference_resource,
+                                fields=tuple(),
+                            )
+                        },
+                    )
+                )
+                continue
+        parts.append(
+            referential_violations(
+                df,
+                dest_df,
+                list(fk.fields),
+                list(fk.reference_fields),
+                spec.name,
+                fk.reference_resource or spec.name,
+                row_key=row_key,
+                partition=partition,
+            )
+        )
+
+    all_v = parts[0]
+    for p in parts[1:]:
+        all_v = all_v.unionByName(p)
+
+    all_v = exclusion_filter(all_v, config.exclusions)
+    if config.max_examples_per_check:
+        all_v = cap_examples(all_v, config.max_examples_per_check)
+    all_v = finalize_violations(all_v)
+
+    summ = summary_plan(df, runnable, partition=partition)
+
+    from ..issue import finalize_issues
+
+    return ValidationResult(
+        spec_issues=finalize_issues(spec_issues),
+        violations=all_v,
+        summary=summ,
+    )

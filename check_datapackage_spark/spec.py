@@ -1,0 +1,440 @@
+"""Check-spec model: a declarative, per-column constraint specification.
+
+The reference validates a ``datapackage.json`` dict against the bundled
+Draft-7 schema (``/root/reference/src/check_datapackage/check.py:250-291``).
+Our engine inverts the orientation (SURVEY.md §1.2): the descriptor becomes
+the *check spec* — what to validate — and the validated object is a Spark
+table. The vocabulary is lifted verbatim:
+
+* the 15 Table Schema field types (``constants.py:12-28``)
+* the constraint vocabulary per type (SURVEY.md §1.4)
+* string-or-list normalization of primaryKey / foreignKey fields
+  (``check.py:390-400``)
+* absent field type defaults to ``"string"`` (``check.py:698``)
+
+Everything here is driver-side, pure Python, and runs before any data is
+read — spec parsing/validation is plan *construction*, not execution.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+from typing import Any, Optional, Union
+
+#: The 15 Table Schema field types (ref constants.py:12-28).
+FIELD_TYPES = [
+    "string",
+    "number",
+    "integer",
+    "date",
+    "time",
+    "datetime",
+    "year",
+    "yearmonth",
+    "boolean",
+    "object",
+    "geopoint",
+    "geojson",
+    "array",
+    "duration",
+    "any",
+]
+
+#: Types that accept numeric/temporal range constraints (SURVEY.md §1.4).
+RANGE_TYPES = {
+    "number",
+    "integer",
+    "year",
+    "date",
+    "time",
+    "datetime",
+    "yearmonth",
+    "duration",
+}
+
+#: Types that accept length constraints (string = chars, rest = size()).
+LENGTH_TYPES = {"string", "object", "array", "geojson"}
+
+#: String formats with engine support (ref schema oneOf[0] formats).
+STRING_FORMATS = {"default", "email", "uri", "binary", "uuid"}
+
+#: Error-group keywords (ref constants.py:5).
+GROUP_ERRORS = ["oneOf", "anyOf", "allOf"]
+
+
+@dataclass(frozen=True)
+class Constraints:
+    """Per-field constraints — the 10 core constraint kinds (SURVEY §1.4).
+
+    Field names follow Table Schema camelCase in the dict form and
+    snake_case here.
+    """
+
+    required: bool = False
+    unique: bool = False
+    enum: Optional[tuple] = None
+    pattern: Optional[str] = None
+    min_length: Optional[int] = None
+    max_length: Optional[int] = None
+    minimum: Optional[Any] = None
+    maximum: Optional[Any] = None
+    exclusive_minimum: Optional[Any] = None
+    exclusive_maximum: Optional[Any] = None
+    json_schema: Optional[dict] = dc_field(default=None, hash=False, compare=False)
+
+    @classmethod
+    def from_dict(cls, d: dict[str, Any]) -> "Constraints":
+        return cls(
+            required=bool(d.get("required", False)),
+            unique=bool(d.get("unique", False)),
+            enum=tuple(d["enum"]) if d.get("enum") is not None else None,
+            pattern=d.get("pattern"),
+            min_length=d.get("minLength"),
+            max_length=d.get("maxLength"),
+            minimum=d.get("minimum"),
+            maximum=d.get("maximum"),
+            exclusive_minimum=d.get("exclusiveMinimum"),
+            exclusive_maximum=d.get("exclusiveMaximum"),
+            json_schema=d.get("jsonSchema"),
+        )
+
+    def is_empty(self) -> bool:
+        return self == Constraints()
+
+
+@dataclass(frozen=True)
+class FieldSpec:
+    """One column's declaration (Table Schema field).
+
+    ``type`` defaults to "string" when absent (ref check.py:698).
+    """
+
+    name: str
+    type: str = "string"
+    format: str = "default"
+    title: Optional[str] = None
+    description: Optional[str] = None
+    constraints: Constraints = dc_field(default_factory=Constraints)
+
+    @classmethod
+    def from_dict(cls, d: dict[str, Any]) -> "FieldSpec":
+        return cls(
+            name=d["name"],
+            type=d.get("type", "string"),
+            format=d.get("format", "default"),
+            title=d.get("title"),
+            description=d.get("description"),
+            constraints=Constraints.from_dict(d.get("constraints", {})),
+        )
+
+
+@dataclass(frozen=True)
+class ForeignKeySpec:
+    """A foreign-key declaration (ref check.py:361-387 semantics).
+
+    ``fields``/``reference_fields`` are normalized string-or-list
+    (ref ``_key_fields_as_str_list`` check.py:390-400). An empty
+    ``reference_resource`` means self-referential (ref check.py:369-375).
+    """
+
+    fields: tuple[str, ...]
+    reference_resource: str
+    reference_fields: tuple[str, ...]
+
+    @classmethod
+    def from_dict(cls, d: dict[str, Any]) -> "ForeignKeySpec":
+        ref = d.get("reference", {})
+        return cls(
+            fields=_as_str_tuple(d.get("fields", ())),
+            reference_resource=ref.get("resource", ""),
+            reference_fields=_as_str_tuple(ref.get("fields", ())),
+        )
+
+
+def _as_str_tuple(v: Union[str, list, tuple]) -> tuple[str, ...]:
+    """String-or-list key normalization (ref check.py:390-400)."""
+    if isinstance(v, str):
+        return (v,)
+    return tuple(v)
+
+
+@dataclass(frozen=True)
+class TableSpec:
+    """One table's full declaration (Table Schema resource.schema analog)."""
+
+    name: str
+    fields: tuple[FieldSpec, ...] = ()
+    primary_key: tuple[str, ...] = ()
+    unique_keys: tuple[tuple[str, ...], ...] = ()
+    foreign_keys: tuple[ForeignKeySpec, ...] = ()
+    missing_values: tuple[str, ...] = ("",)
+    partition_by: tuple[str, ...] = ()
+
+    @classmethod
+    def from_dict(cls, d: dict[str, Any]) -> "TableSpec":
+        """Parse a datapackage.json resource-shaped dict.
+
+        Accepts either a resource dict (``{"name":…, "schema": {…}}``)
+        or a bare Table Schema dict (``{"fields": […]}``).
+        """
+        schema = d.get("schema", d)
+        return cls(
+            name=d.get("name", "table"),
+            fields=tuple(FieldSpec.from_dict(f) for f in schema.get("fields", [])),
+            primary_key=_as_str_tuple(schema.get("primaryKey", ())),
+            unique_keys=tuple(
+                _as_str_tuple(k) for k in schema.get("uniqueKeys", [])
+            ),
+            foreign_keys=tuple(
+                ForeignKeySpec.from_dict(fk) for fk in schema.get("foreignKeys", [])
+            ),
+            missing_values=tuple(schema.get("missingValues", [""])),
+            partition_by=_as_str_tuple(d.get("partitionBy", ())),
+        )
+
+    def field_names(self) -> list[str]:
+        return [f.name for f in self.fields]
+
+    def field(self, name: str) -> Optional[FieldSpec]:
+        for f in self.fields:
+            if f.name == name:
+                return f
+        return None
+
+
+@dataclass(frozen=True)
+class Exclusion:
+    """Issue-exclusion filter (ref exclusion.py:11-47).
+
+    Within one exclusion: AND of the set fields; across exclusions: OR.
+    An empty exclusion matches nothing (ref exclusion.py:50-78).
+    ``jsonpath`` supports ``*`` wildcards like the reference's
+    wildcard-path matching (exclusion.py:81-84).
+    """
+
+    jsonpath: Optional[str] = None
+    type: Optional[str] = None
+
+    def is_empty(self) -> bool:
+        return self.jsonpath is None and self.type is None
+
+
+@dataclass(frozen=True)
+class CheckConfig:
+    """Engine run configuration (ref config.py:9-53).
+
+    ``strict`` enables the strict-profile extra checks (ref
+    check.py:516-538); ``exclusions`` filter emitted violations;
+    ``extensions`` append user checks (pandas-UDF surface).
+    """
+
+    strict: bool = False
+    version: str = "v2"
+    exclusions: tuple[Exclusion, ...] = ()
+    extensions: tuple = ()
+    #: max violation example rows persisted per (check, partition);
+    #: summaries are always complete (SURVEY §4 short-circuit note).
+    max_examples_per_check: Optional[int] = None
+
+
+# ---------------------------------------------------------------------------
+# Spec-level validation (the reference's own job, reproduced on the driver)
+# ---------------------------------------------------------------------------
+
+
+def validate_spec(spec: TableSpec) -> list:
+    """Validate a TableSpec the way the reference validates a descriptor.
+
+    Driver-side only, returns a list of :class:`~.issue.Issue`. Covers the
+    reference's structural rules that survive translation to our spec
+    model: unknown field type (ref check.py:683-725 → single enum issue),
+    primary-key fields must exist (``_check_primary_key`` check.py:340-358),
+    FK source fields must exist + arity match
+    (``_check_fk_source_fields`` check.py:413-447), FK destination
+    fields (``check.py:450-513``), and constraint applicability per type
+    (SURVEY §1.4 vocabulary).
+    """
+    from .issue import Issue, finalize_issues
+
+    issues: list[Issue] = []
+    names = spec.field_names()
+    root = f"$.{spec.name}.schema"
+
+    for i, f in enumerate(spec.fields):
+        fpath = f"{root}.fields[{i}]"
+        if f.type not in FIELD_TYPES:
+            # Unknown type → single enum issue on the type property
+            # (ref check.py:683-725, test_check.py:700-733).
+            issues.append(
+                Issue(
+                    jsonpath=f"{fpath}.type",
+                    type="enum",
+                    message=(
+                        f"'{f.type}' is not one of {FIELD_TYPES!r}".replace("'", "'")
+                    ),
+                    instance=f.type,
+                )
+            )
+            continue
+        c = f.constraints
+        if c.pattern is not None and f.type != "string":
+            issues.append(
+                Issue(
+                    jsonpath=f"{fpath}.constraints.pattern",
+                    type="type",
+                    message=f"'pattern' constraint only applies to string fields, not '{f.type}'",
+                    instance=c.pattern,
+                )
+            )
+        if (c.min_length is not None or c.max_length is not None) and (
+            f.type not in LENGTH_TYPES
+        ):
+            issues.append(
+                Issue(
+                    jsonpath=f"{fpath}.constraints.minLength",
+                    type="type",
+                    message=f"length constraints do not apply to '{f.type}' fields",
+                    instance=c.min_length if c.min_length is not None else c.max_length,
+                )
+            )
+        if any(
+            v is not None
+            for v in (c.minimum, c.maximum, c.exclusive_minimum, c.exclusive_maximum)
+        ) and f.type not in RANGE_TYPES:
+            issues.append(
+                Issue(
+                    jsonpath=f"{fpath}.constraints.minimum",
+                    type="type",
+                    message=f"range constraints do not apply to '{f.type}' fields",
+                    instance=None,
+                )
+            )
+        if c.enum is not None:
+            # Mixed-type enum values → single message
+            # (ref _handle_…_constraints_enum check.py:728-783).
+            vtypes = {type(v).__name__ for v in c.enum}
+            if len(vtypes) > 1:
+                issues.append(
+                    Issue(
+                        jsonpath=f"{fpath}.constraints.enum",
+                        type="type",
+                        message="All enum values must be the same type.",
+                        instance=list(c.enum),
+                    )
+                )
+
+    # Primary key fields must exist (ref check.py:340-358; "" flagged too).
+    unknown_pk = [k for k in spec.primary_key if k not in names]
+    if unknown_pk:
+        issues.append(
+            Issue(
+                jsonpath=f"{root}.primaryKey",
+                type="primary-key",
+                message=(
+                    "The following fields in the `primaryKey` property "
+                    f"are not in the `fields` property: {unknown_pk}"
+                ),
+                instance=list(spec.primary_key),
+            )
+        )
+
+    for j, fk in enumerate(spec.foreign_keys):
+        fk_path = f"{root}.foreignKeys[{j}]"
+        unknown_src = [k for k in fk.fields if k not in names]
+        if unknown_src:
+            # ref _check_fk_source_fields check.py:417-432
+            issues.append(
+                Issue(
+                    jsonpath=f"{fk_path}.fields",
+                    type="foreign-key-source-fields",
+                    message=(
+                        "The following fields in the `fields` property of a "
+                        f"foreign key are not in the `fields` property of the "
+                        f"resource: {unknown_src}"
+                    ),
+                    instance=list(fk.fields),
+                )
+            )
+        if len(fk.fields) != len(fk.reference_fields):
+            # ref arity check check.py:434-446
+            issues.append(
+                Issue(
+                    jsonpath=f"{fk_path}.fields",
+                    type="foreign-key-source-fields",
+                    message=(
+                        "The number of fields in the `fields` property of a "
+                        "foreign key must match the number of fields in its "
+                        "`reference.fields` property."
+                    ),
+                    instance=list(fk.fields),
+                )
+            )
+        if not fk.reference_resource:
+            # Self-referential FK: dest fields must exist in this table
+            # (ref _check_fk_dest_fields_same_resource check.py:450-471).
+            unknown_dst = [k for k in fk.reference_fields if k not in names]
+            if unknown_dst:
+                issues.append(
+                    Issue(
+                        jsonpath=f"{fk_path}.reference.fields",
+                        type="foreign-key-destination-fields",
+                        message=(
+                            "The following fields in the `reference.fields` "
+                            "property of a foreign key are not in the `fields` "
+                            f"property of the resource: {unknown_dst}"
+                        ),
+                        instance=list(fk.reference_fields),
+                    )
+                )
+
+    return finalize_issues(issues)
+
+
+def validate_spec_against(
+    spec: TableSpec, dims: dict[str, "TableSpec"]
+) -> list:
+    """Cross-resource FK declaration checks (ref check.py:474-513).
+
+    ``dims`` maps resource name → TableSpec for every other declared
+    resource. Missing destination resource →
+    ``foreign-key-destination-resource``; missing destination fields →
+    ``foreign-key-destination-fields``.
+    """
+    from .issue import Issue, finalize_issues
+
+    issues: list[Issue] = []
+    root = f"$.{spec.name}.schema"
+    for j, fk in enumerate(spec.foreign_keys):
+        if not fk.reference_resource:
+            continue
+        fk_path = f"{root}.foreignKeys[{j}]"
+        dest = dims.get(fk.reference_resource)
+        if dest is None:
+            issues.append(
+                Issue(
+                    jsonpath=f"{fk_path}.reference.resource",
+                    type="foreign-key-destination-resource",
+                    message=(
+                        f"No resource named '{fk.reference_resource}' was "
+                        "found for the `resource` property of a foreign key."
+                    ),
+                    instance=fk.reference_resource,
+                )
+            )
+            continue
+        unknown = [k for k in fk.reference_fields if k not in dest.field_names()]
+        if unknown:
+            issues.append(
+                Issue(
+                    jsonpath=f"{fk_path}.reference.fields",
+                    type="foreign-key-destination-fields",
+                    message=(
+                        "The following fields in the `reference.fields` "
+                        "property of a foreign key are not in the `fields` "
+                        f"property of the resource '{fk.reference_resource}': "
+                        f"{unknown}"
+                    ),
+                    instance=list(fk.reference_fields),
+                )
+            )
+    return finalize_issues(issues)

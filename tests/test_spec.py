@@ -1,0 +1,183 @@
+"""Spec model + driver-side spec validation tests (no Spark needed).
+
+Mirrors the reference's spec-structural tests
+(/root/reference/tests/test_check.py:130-199, 831-994): PK/FK field
+existence, arity, string-or-list normalization, unknown field type.
+"""
+
+from __future__ import annotations
+
+from check_datapackage_spark import (
+    FIELD_TYPES,
+    FieldSpec,
+    Issue,
+    TableSpec,
+    finalize_issues,
+    validate_spec,
+    validate_spec_against,
+)
+from check_datapackage_spark.issue import MISSING, MissingValue, explain
+
+
+def make_spec(**schema_overrides):
+    schema = {
+        "fields": [
+            {"name": "doc_id", "type": "string"},
+            {"name": "n_tok", "type": "integer"},
+        ],
+        "primaryKey": "doc_id",
+    }
+    schema.update(schema_overrides)
+    return TableSpec.from_dict({"name": "t", "schema": schema})
+
+
+def test_valid_spec_has_no_issues():
+    assert validate_spec(make_spec()) == []
+
+
+def test_string_or_list_primary_key():
+    # ref check.py:390-400 — "doc_id" and ["doc_id"] are equivalent
+    assert make_spec(primaryKey="doc_id").primary_key == ("doc_id",)
+    assert make_spec(primaryKey=["doc_id"]).primary_key == ("doc_id",)
+
+
+def test_unknown_pk_field_flagged():
+    # ref _check_primary_key check.py:340-358; test_check.py:130-181
+    issues = validate_spec(make_spec(primaryKey="nope"))
+    assert len(issues) == 1
+    assert issues[0].type == "primary-key"
+    assert issues[0].jsonpath == "$.t.schema.primaryKey"
+    assert "nope" in issues[0].message
+
+
+def test_empty_string_pk_field_flagged():
+    # ref: "" is flagged too (check.py:403-410)
+    issues = validate_spec(make_spec(primaryKey=""))
+    assert issues and issues[0].type == "primary-key"
+
+
+def test_unknown_field_type_single_enum_issue():
+    # ref check.py:683-725: unknown type → ONE enum issue on .type
+    spec = make_spec(fields=[{"name": "x", "type": "wat"}], primaryKey=[])
+    issues = validate_spec(spec)
+    assert len(issues) == 1
+    assert issues[0].type == "enum"
+    assert issues[0].jsonpath == "$.t.schema.fields[0].type"
+
+
+def test_default_type_is_string():
+    # ref check.py:698
+    spec = make_spec(fields=[{"name": "x"}], primaryKey=[])
+    assert spec.fields[0].type == "string"
+    assert validate_spec(spec) == []
+
+
+def test_fk_source_fields_must_exist():
+    # ref _check_fk_source_fields check.py:417-432
+    spec = make_spec(
+        foreignKeys=[{"fields": "ghost", "reference": {"resource": "d", "fields": "k"}}]
+    )
+    issues = validate_spec(spec)
+    assert any(i.type == "foreign-key-source-fields" for i in issues)
+    assert issues[0].jsonpath == "$.t.schema.foreignKeys[0].fields"
+
+
+def test_fk_arity_mismatch():
+    # ref check.py:434-446
+    spec = make_spec(
+        foreignKeys=[
+            {
+                "fields": ["doc_id", "n_tok"],
+                "reference": {"resource": "d", "fields": "k"},
+            }
+        ]
+    )
+    issues = validate_spec(spec)
+    assert any(
+        i.type == "foreign-key-source-fields" and "number of fields" in i.message
+        for i in issues
+    )
+
+
+def test_fk_self_referential_dest_fields():
+    # ref _check_fk_dest_fields_same_resource check.py:450-471:
+    # empty reference.resource means same-resource
+    spec = make_spec(
+        foreignKeys=[{"fields": "doc_id", "reference": {"resource": "", "fields": "ghost"}}]
+    )
+    issues = validate_spec(spec)
+    assert any(i.type == "foreign-key-destination-fields" for i in issues)
+
+
+def test_fk_missing_dest_resource():
+    # ref check.py:474-513 → foreign-key-destination-resource
+    spec = make_spec(
+        foreignKeys=[{"fields": "doc_id", "reference": {"resource": "ghost", "fields": "k"}}]
+    )
+    issues = validate_spec_against(spec, {})
+    assert len(issues) == 1
+    assert issues[0].type == "foreign-key-destination-resource"
+
+
+def test_fk_missing_dest_fields_cross_resource():
+    spec = make_spec(
+        foreignKeys=[{"fields": "doc_id", "reference": {"resource": "dim", "fields": "nope"}}]
+    )
+    dim = TableSpec(name="dim", fields=(FieldSpec(name="k"),))
+    issues = validate_spec_against(spec, {"dim": dim})
+    assert len(issues) == 1
+    assert issues[0].type == "foreign-key-destination-fields"
+
+
+def test_mixed_type_enum_values():
+    # ref _handle_…_constraints_enum check.py:728-783 exact message
+    spec = make_spec(
+        fields=[{"name": "x", "type": "string", "constraints": {"enum": ["a", 1]}}], primaryKey=[]
+    )
+    issues = validate_spec(spec)
+    assert any(i.message == "All enum values must be the same type." for i in issues)
+
+
+def test_constraint_applicability():
+    # pattern on integer → spec issue (SURVEY §1.4 vocabulary)
+    spec = make_spec(
+        fields=[{"name": "x", "type": "integer", "constraints": {"pattern": "a+"}}], primaryKey=[]
+    )
+    assert any("pattern" in i.jsonpath for i in validate_spec(spec))
+
+
+def test_issue_equality_excludes_instance():
+    # ref issue.py:52 — instance excluded from eq/hash
+    a = Issue("$.x", "required", "m", instance="A")
+    b = Issue("$.x", "required", "m", instance="B")
+    assert a == b
+    assert len({a, b}) == 1
+
+
+def test_finalize_issues_dedup_and_order():
+    # ref check.py:279 sorted(set(...))
+    a = Issue("$.b", "type", "m2")
+    b = Issue("$.a", "required", "m1")
+    c = Issue("$.a", "required", "m1", instance="dup")
+    assert finalize_issues([a, b, c]) == [b, a]
+
+
+def test_missing_singleton():
+    # ref issue.py:5-17
+    assert MissingValue() is MISSING
+    assert repr(MISSING) == "<MISSING>"
+
+
+def test_explain_renders():
+    out = explain([Issue("$.a", "required", "a is required", instance=MISSING)])
+    assert "1 issue(s) were found" in out
+    assert "<MISSING>" in out
+
+
+def test_field_types_list_matches_reference():
+    # ref constants.py:12-28 — exactly these 15, in this order
+    assert FIELD_TYPES == [
+        "string", "number", "integer", "date", "time", "datetime",
+        "year", "yearmonth", "boolean", "object", "geopoint", "geojson",
+        "array", "duration", "any",
+    ]
