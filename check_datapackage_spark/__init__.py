@@ -47,6 +47,8 @@ from .plans.validation import (
     violations_plan,
 )
 
+from .extensions import CustomCheck, ExtensionError, RequiredCheck, compile_extensions
+
 __version__ = "0.1.0"
 
 __all__ = [

@@ -1,0 +1,144 @@
+"""Checkpoint/resume + per-partition lineage (BASELINE north_star:
+"checkpoint-resumable with per-partition lineage and metrics persisted
+to an Iceberg audit table").
+
+The unit of work is a **work unit** = (source, bucket) where bucket =
+pmod(xxhash64(doc_id), n_buckets) — the same explicit repartitioning key
+the north_rule prescribes for skew. A run:
+
+1. plans work units (one light distinct scan of (source, bucket)),
+2. anti-joins against already-completed units in the audit ledger,
+3. validates only the remaining units (partition-pruned scan),
+4. appends (run_id, source, bucket, metrics...) rows to the ledger.
+
+In-sandbox the ledger is a parquet directory; on a cluster it's an
+Iceberg table (atomic appends give exactly-once unit completion).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+LEDGER_SCHEMA = (
+    "run_id string, source string, bucket int, n_rows long, n_violations long,"
+    " passed boolean, completed_at_ms long"
+)
+
+
+def with_bucket(df: DataFrame, key: str = "doc_id", n_buckets: int = 64) -> DataFrame:
+    """Add the explicit salt/bucket column from the north_rule:
+    pmod(xxhash64(key), n_buckets)."""
+    return df.withColumn(
+        "_bucket", F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)).cast("int")
+    )
+
+
+def plan_units(df: DataFrame, partition: str = "source") -> DataFrame:
+    """Distinct (source, bucket) work units present in the input."""
+    return df.select(F.col(partition).alias("source"), "_bucket").distinct()
+
+
+def completed_units(spark: SparkSession, ledger_path: str) -> DataFrame:
+    """Units already recorded complete (any run)."""
+    if not _ledger_exists(ledger_path):
+        return spark.createDataFrame([], "source string, _bucket int")
+    led = spark.read.parquet(ledger_path)
+    return led.where(F.col("passed").isNotNull()).select(
+        "source", F.col("bucket").alias("_bucket")
+    ).distinct()
+
+
+def pending_units(df: DataFrame, spark: SparkSession, ledger_path: str) -> DataFrame:
+    """Anti-join: planned minus completed → the resume frontier."""
+    return plan_units(df).join(
+        completed_units(spark, ledger_path), ["source", "_bucket"], "left_anti"
+    )
+
+
+def filter_to_pending(
+    df: DataFrame, spark: SparkSession, ledger_path: str
+) -> DataFrame:
+    """Restrict the input to pending work units (broadcast semi-join on
+    the tiny unit list — partition pruning does the heavy lifting when
+    the table is Iceberg-partitioned by source)."""
+    pend = pending_units(df, spark, ledger_path)
+    return df.join(
+        F.broadcast(pend), ["source", "_bucket"], "left_semi"
+    )
+
+
+def record_units(
+    summary_per_unit: DataFrame, ledger_path: str, run_id: Optional[str] = None
+) -> None:
+    """Append per-unit metric rows: (run_id, source, bucket, n_rows,
+    n_violations, passed, completed_at_ms)."""
+    run_id = run_id or f"run-{int(time.time() * 1000)}"
+    out = summary_per_unit.select(
+        F.lit(run_id).alias("run_id"),
+        "source",
+        F.col("_bucket").alias("bucket"),
+        "n_rows",
+        "n_violations",
+        (F.col("n_violations") == 0).alias("passed"),
+        F.lit(int(time.time() * 1000)).alias("completed_at_ms"),
+    )
+    out.write.mode("append").parquet(ledger_path)
+
+
+def unit_summary(df: DataFrame, violations: DataFrame) -> DataFrame:
+    """Per-(source, bucket) row/violation counts for the ledger.
+
+    ``violations`` must carry ``partition`` (=source) and ``row_key``;
+    buckets are recomputed from row_key with the same hash — one tiny
+    agg each, broadcast-joined.
+    """
+    rows = df.groupBy("source", "_bucket").agg(F.count(F.lit(1)).alias("n_rows"))
+    v = (
+        violations.withColumn(
+            "_bucket",
+            F.pmod(F.xxhash64(F.col("row_key")), F.lit(64)).cast("int"),
+        )
+        .groupBy(F.col("partition").alias("source"), "_bucket")
+        .agg(F.count(F.lit(1)).alias("n_violations"))
+    )
+    return rows.join(v, ["source", "_bucket"], "left").fillna(
+        0, subset=["n_violations"]
+    )
+
+
+def _ledger_exists(path: str) -> bool:
+    if not os.path.exists(path):
+        return False
+    return any(
+        name.endswith(".parquet") or name == "_SUCCESS" or name.startswith("part-")
+        for name in os.listdir(path)
+    )
+
+
+@dataclass
+class ResumableRun:
+    """End-to-end resumable validation over (source, bucket) units."""
+
+    ledger_path: str
+    n_buckets: int = 64
+    key: str = "doc_id"
+
+    def run(self, df: DataFrame, validate_fn, run_id: Optional[str] = None):
+        """``validate_fn(df_pending) -> (violations, _)``; processes only
+        pending units, records them, returns (violations, n_units_done)."""
+        spark = df.sparkSession
+        b = with_bucket(df, self.key, self.n_buckets)
+        pending = filter_to_pending(b, spark, self.ledger_path)
+        n_pending = plan_units(pending).count()
+        if n_pending == 0:
+            return None, 0
+        violations, _ = validate_fn(pending)
+        summ = unit_summary(pending, violations)
+        record_units(summ, self.ledger_path, run_id)
+        return violations, n_pending

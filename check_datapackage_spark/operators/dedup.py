@@ -1,0 +1,308 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram
+Jaccard, embedding-cosine near-dup (task brief / SURVEY §2.8).
+
+Scale shapes:
+* **exact**: groupBy(fingerprint) — one shuffle of (hash, id) pairs.
+* **MinHash+LSH**: shingle → per-seed min-hash (all JVM-side
+  ``array_min(transform(...))``, no UDF) → band hashes → ONE shuffle
+  grouping docs by (band, band_hash); candidate pairs only form inside
+  buckets, so no quadratic blowup. Verification re-computes exact
+  shingle Jaccard on the candidate pairs only.
+* **SimHash**: 64-bit signature via a vectorized pandas UDF (bit math
+  over token hashes), bucketed by 16-bit chunks for candidate search
+  (hamming ≤ k ⇒ some chunk equal, pigeonhole).
+* **embedding cosine**: see similarity.py — near-dup = top-1 neighbor
+  above a threshold.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import fingerprint_md5, normalize_text
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dup_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Groups of exact duplicates (after normalization).
+
+    Output: (fingerprint, n_dups, doc_ids) for groups with n>1.
+    ``collect_list`` is safe: group size is bounded by duplicate
+    multiplicity, and only duplicate groups survive the filter.
+    """
+    fp = fingerprint_md5(F.col(text_col)).alias("fingerprint")
+    return (
+        df.select(fp, F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+        )
+        .where(F.col("n_dups") > 1)
+    )
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep one representative per fingerprint (min id — deterministic).
+
+    Window-free formulation: min(id) per fingerprint then semi-join, so
+    the big side shuffles once on the fingerprint. At 100 TB prefer
+    this over row_number() windows (same shuffle, no sort)."""
+    fp = fingerprint_md5(F.col(text_col)).alias("_fp")
+    withfp = df.withColumn("_fp", fingerprint_md5(F.col(text_col)))
+    keep = withfp.groupBy("_fp").agg(F.min(id_col).alias(id_col))
+    return withfp.join(keep, ["_fp", id_col], "left_semi").drop("_fp")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup
+# ---------------------------------------------------------------------------
+
+
+def shingles(col: Column, k: int = 5) -> Column:
+    """Word k-shingles of the normalized text → array<string> (distinct)."""
+    words = F.split(normalize_text(col), " ")
+    n = F.size(words)
+    idx = F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda s: F.array_join(F.slice(words, s, k), " "))
+    )
+
+
+def minhash_signature(shingle_col: Column, n_hashes: int = 64) -> Column:
+    """MinHash signature: per seed i, min over shingles of
+    xxhash64(shingle, i) — array<long> of length n_hashes.
+
+    Entirely JVM-side: transform + array_min per seed; Catalyst
+    evaluates the seeds over one pass of the shingle array.
+    """
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(shingle_col, lambda s: F.xxhash64(s, F.lit(i)))
+            )
+            for i in range(n_hashes)
+        ]
+    )
+
+
+def minhash_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 64,
+    bands: int = 16,
+    k_shingle: int = 5,
+) -> DataFrame:
+    """LSH candidate pairs: docs sharing ≥1 band bucket.
+
+    rows per band (n_hashes/bands) are hashed together; two docs agreeing
+    on all rows of any band collide. Output: (id_a, id_b) distinct,
+    id_a < id_b.
+    """
+    rows_per_band = n_hashes // bands
+    sig = minhash_signature(shingles(F.col(text_col), k_shingle), n_hashes)
+    with_sig = df.select(F.col(id_col).alias("_id"), sig.alias("_sig"))
+
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                F.array_join(
+                    F.transform(
+                        F.slice("_sig", b * rows_per_band + 1, rows_per_band),
+                        lambda x: x.cast("string"),
+                    ),
+                    ",",
+                )
+            ).alias("bucket"),
+        )
+        for b in range(bands)
+    ]
+    buckets = with_sig.select(
+        "_id", F.explode(F.array(*band_cols)).alias("bb")
+    ).select("_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    # self-join within buckets; the groupBy+collect_list alternative
+    # risks a giant bucket — an equi-join lets AQE split skewed buckets.
+    left = buckets.alias("l")
+    right = buckets.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_shingle: int = 5,
+) -> DataFrame:
+    """Exact shingle-Jaccard for candidate pairs.
+
+    Joins the (small) candidate set back to the corpus twice — each join
+    shuffles only candidate ids, the corpus side is pruned to (id,
+    shingles).
+    """
+    sh = df.select(
+        F.col(id_col).alias("_id"), shingles(F.col(text_col), k_shingle).alias("_sh")
+    )
+    a = sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
+    b = sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def minhash_near_dups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    n_hashes: int = 64,
+    bands: int = 16,
+    k_shingle: int = 5,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: candidates → exact Jaccard →
+    threshold. Output: (id_a, id_b, jaccard)."""
+    cands = minhash_candidates(df, text_col, id_col, n_hashes, bands, k_shingle)
+    return jaccard_pairs(df, cands, text_col, id_col, k_shingle).where(
+        F.col("jaccard") >= threshold
+    )
+
+
+def ngram_jaccard_dups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    k_shingle: int = 3,
+    n_hashes: int = 64,
+    bands: int = 32,
+) -> DataFrame:
+    """n-gram Jaccard near-dup — same LSH scaffolding with smaller
+    shingles and more bands (higher recall for the lower threshold)."""
+    return minhash_near_dups(
+        df, text_col, id_col, threshold, n_hashes, bands, k_shingle
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash per doc via a vectorized pandas UDF.
+
+    Bit math over per-word hashes doesn't decompose into built-in SQL
+    functions; Arrow batches keep the Python cost to one call per ~10k
+    rows. Output: (id, simhash:long).
+    """
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.LongType())
+    def simhash(texts: pd.Series) -> pd.Series:
+        out = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            if not t:
+                continue
+            words = t.lower().split()
+            if not words:
+                continue
+            hs = np.array(
+                [np.int64(hash(w) & 0xFFFFFFFFFFFFFFF) for w in words],
+                dtype=np.int64,
+            )
+            bits = ((hs[:, None] >> np.arange(60)) & 1) * 2 - 1
+            vec = bits.sum(axis=0)
+            sig = np.int64(0)
+            for b in range(60):
+                if vec[b] > 0:
+                    sig |= np.int64(1) << b
+            out[i] = sig
+        return pd.Series(out)
+
+    return df.select(F.col(id_col).alias("_id"), simhash(F.col(text_col)).alias("simhash"))
+
+
+def simhash_candidates(
+    sigs: DataFrame, n_chunks: int = 4, chunk_bits: int = 15
+) -> DataFrame:
+    """Candidate pairs with hamming distance ≤ n_chunks-1 (pigeonhole:
+    some chunk must match exactly). One shuffle on (chunk, value)."""
+    chunks = [
+        F.struct(
+            F.lit(c).alias("chunk"),
+            F.shiftright(F.col("simhash"), c * chunk_bits)
+            .bitwiseAND(F.lit((1 << chunk_bits) - 1))
+            .alias("val"),
+        )
+        for c in range(n_chunks)
+    ]
+    b = sigs.select("_id", "simhash", F.explode(F.array(*chunks)).alias("cc")).select(
+        "_id", "simhash", F.col("cc.chunk").alias("chunk"), F.col("cc.val").alias("val")
+    )
+    l, r = b.alias("l"), b.alias("r")
+    pairs = (
+        l.join(
+            r,
+            (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col("l.val") == F.col("r.val"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            F.bit_count(
+                F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pipeline: signatures → chunk-bucket candidates →
+    hamming filter. Output (id_a, id_b, hamming)."""
+    sigs = simhash_signatures(df, text_col, id_col)
+    return simhash_candidates(sigs).where(F.col("hamming") <= max_hamming)

@@ -1,0 +1,218 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary
+columns with typed metadata (task brief / SURVEY §2.8).
+
+The container has no image/audio codecs, so the DECODE step is stubbed
+behind ``DecoderRegistry`` (deterministic fake by default,
+``NotImplementedError`` for real codecs) — but the Spark-side plumbing
+is real and tested: schema contract, Arrow batch shape through
+``mapInPandas``, partition sizing, and metadata validation as compiled
+checks.
+
+Scale notes: binary payloads dominate row size — ``mapInPandas`` with
+``spark.sql.execution.arrow.maxRecordsPerBatch`` tuned down keeps Arrow
+batches under executor memory; feature extraction prunes the payload
+column as early as possible (select only what the UDF needs).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Callable, Iterator, Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..compile import CompiledCheck, compile_invariant
+
+#: Metadata contract for a multimodal asset column ``<name>_meta``.
+ASSET_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_type", T.StringType(), False),  # e.g. image/png
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_channels", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),  # audio/video
+        T.StructField("sample_rate", T.IntegerType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("byte_len", T.LongType(), False),
+        T.StructField("sha1", T.StringType(), False),
+        T.StructField("features", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+def asset_checks(
+    payload_col: str = "payload",
+    meta_col: str = "meta",
+    allowed_media_types: tuple = ("image/png", "image/jpeg", "audio/wav"),
+    max_bytes: int = 16 * 1024 * 1024,
+) -> list[CompiledCheck]:
+    """Compiled checks over a multimodal column: payload present,
+    size-bounded, media_type in the allowed enum, dims positive.
+    Plugs straight into the fused validation plan."""
+    p, m = F.col(payload_col), F.col(meta_col)
+    return [
+        compile_invariant(
+            f"{payload_col}.present",
+            p.isNotNull() & (F.length(p) > 0),
+            "required",
+            f"{payload_col} must be non-empty binary",
+            column=payload_col,
+        ),
+        compile_invariant(
+            f"{payload_col}.max_bytes",
+            p.isNull() | (F.length(p) <= max_bytes),
+            "maxLength",
+            f"{payload_col} exceeds {max_bytes} bytes",
+            column=payload_col,
+            instance=F.length(p),
+        ),
+        compile_invariant(
+            f"{meta_col}.media_type",
+            m.isNull() | m["media_type"].isin(*allowed_media_types),
+            "enum",
+            f"media_type must be one of {list(allowed_media_types)}",
+            column=meta_col,
+            instance=m["media_type"],
+        ),
+        compile_invariant(
+            f"{meta_col}.dims",
+            m.isNull()
+            | m["width"].isNull()
+            | ((m["width"] > 0) & (m["height"] > 0)),
+            "minimum",
+            "image dimensions must be positive",
+            column=meta_col,
+            instance=F.concat_ws("x", m["width"], m["height"]),
+        ),
+    ]
+
+
+class DecoderRegistry:
+    """Pluggable decoders keyed by media_type.
+
+    Real codecs (PIL/librosa/ffmpeg) are not in this container — the
+    default registry maps every type to :func:`fake_decode`
+    (deterministic bytes → fixed-length feature vector) so the pipeline
+    is fully testable; register a real decoder in production.
+    """
+
+    def __init__(self) -> None:
+        self._decoders: dict[str, Callable[[bytes], np.ndarray]] = {}
+
+    def register(self, media_type: str, fn: Callable[[bytes], np.ndarray]) -> None:
+        self._decoders[media_type] = fn
+
+    def get(self, media_type: str) -> Callable[[bytes], np.ndarray]:
+        if media_type in self._decoders:
+            return self._decoders[media_type]
+        return fake_decode
+
+
+def real_decode(payload: bytes) -> np.ndarray:  # pragma: no cover - stub
+    """STUB: real image/audio decode requires codec libraries absent
+    from this environment."""
+    raise NotImplementedError(
+        "real decode requires PIL/librosa/ffmpeg — register a decoder"
+    )
+
+
+def fake_decode(payload: bytes, n_features: int = 16) -> np.ndarray:
+    """Deterministic fake 'decode': sha1-seeded feature vector.
+
+    Stands in for decode+embed so partitioning/batching/schema paths are
+    exercised end-to-end with stable outputs.
+    """
+    h = hashlib.sha1(payload).digest()
+    raw = np.frombuffer((h * ((n_features * 4) // len(h) + 1))[: n_features * 4], dtype=np.uint32)
+    return (raw % 1000).astype(np.float32) / 1000.0
+
+
+def extract_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    meta_col: str = "meta",
+    id_col: str = "doc_id",
+    registry: Optional[DecoderRegistry] = None,
+    batch_size_hint: int = 256,
+) -> DataFrame:
+    """Decode/feature-extract via ``mapInPandas`` (Arrow batches).
+
+    Output: FEATURE_SCHEMA (id, byte_len, sha1, features). The payload
+    column is dropped on output — downstream stages never reshuffle
+    blobs.
+    """
+    registry = registry or DecoderRegistry()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, lens, shas, feats = [], [], [], []
+            for _, row in pdf.iterrows():
+                payload = bytes(row[payload_col]) if row[payload_col] is not None else b""
+                mt = (row[meta_col].get("media_type") if isinstance(row[meta_col], dict) else None) or "application/octet-stream"
+                decode = registry.get(mt)
+                ids.append(row[id_col])
+                lens.append(len(payload))
+                shas.append(hashlib.sha1(payload).hexdigest())
+                feats.append(decode(payload).tolist() if payload else None)
+            yield pd.DataFrame(
+                {"doc_id": ids, "byte_len": lens, "sha1": shas, "features": feats}
+            )
+
+    pruned = df.select(id_col, payload_col, meta_col)
+    return pruned.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def frame_sample_plan(
+    df: DataFrame,
+    n_frames: int = 8,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Video frame-sampling plumbing: emit (doc_id, frame_idx) rows with
+    deterministic frame indices; the actual frame decode is the stubbed
+    step. Shows the explode-side shape (one row per sampled frame)."""
+    idx = F.sequence(F.lit(0), F.lit(n_frames - 1))
+    return df.select(
+        F.col(id_col), F.length(F.col(payload_col)).alias("byte_len"), F.explode(idx).alias("frame_idx")
+    )
+
+
+def synth_assets(spark, n: int = 64) -> DataFrame:
+    """Deterministic fake multimodal table for tests: payload bytes are
+    a function of the id; media types cycle through the allowed set."""
+    media = ["image/png", "image/jpeg", "audio/wav"]
+    rows = []
+    for i in range(n):
+        payload = (f"asset-{i:06d}".encode() * 7)[:100]
+        m = media[i % 3]
+        rows.append(
+            (
+                f"doc-{i:06d}",
+                bytearray(payload),
+                {
+                    "media_type": m,
+                    "width": 32 + i if m.startswith("image") else None,
+                    "height": 24 + i if m.startswith("image") else None,
+                    "n_channels": 3 if m.startswith("image") else 1,
+                    "duration_ms": 1000 + i if m == "audio/wav" else None,
+                    "sample_rate": 16000 if m == "audio/wav" else None,
+                },
+            )
+        )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+            T.StructField("meta", ASSET_META_SCHEMA, True),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)

@@ -1,0 +1,231 @@
+"""Similarity search over embedding columns (task brief / SURVEY §2.8).
+
+* ``brute_force_topk`` — exact cosine top-k: broadcast the (small) query
+  set against the corpus; per-row dot products via JVM higher-order
+  functions (``zip_with`` + ``aggregate``), top-k via window row_number.
+  The corpus is never shuffled — one scan, one broadcast, one small
+  top-k shuffle of |queries|·k rows.
+* ``quantized_topk`` — same shape with int64 arithmetic over quantized
+  vectors: bit-exact across engines (used for the DuckDB oracle).
+* ``lsh_topk`` — scale path: random-hyperplane LSH bucketing; only
+  same-bucket pairs are scored. Hyperplanes are derived from xxhash64
+  (deterministic, no RNG state), so the plan is reproducible.
+* ``cosine_near_dups`` — embedding near-dup detection: LSH buckets →
+  in-bucket pairwise cosine ≥ threshold.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢbᵢ in double precision — zip_with + aggregate, JVM-side."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2norm(a) * l2norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: Optional[str] = None,
+) -> DataFrame:
+    """Exact cosine top-k of every query against the corpus.
+
+    Output: (query_id, vec_id, score, rank). Queries are broadcast —
+    at 100 TB the corpus side streams through one scan; cost is
+    |corpus|·|queries| dot products, all codegen'd.
+    """
+    qid = query_id_col or id_col
+    q = F.broadcast(
+        queries.select(
+            F.col(qid).alias("query_id"), F.col(vec_col).alias("_qvec")
+        )
+    )
+    scored = corpus.select(
+        F.col(id_col), F.col(vec_col).alias("_cvec")
+    ).crossJoin(q)
+    scored = scored.where(F.col("query_id") != F.col(id_col)).select(
+        "query_id",
+        id_col,
+        cosine(F.col("_cvec"), F.col("_qvec")).alias("score"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )
+
+
+def quantized_dot(a: Column, b: Column, scale: int = 1000) -> Column:
+    """Integer dot product of round(x*scale) vectors — exact in any
+    engine (no float summation order issues); used by oracle tests."""
+    qa = F.transform(a, lambda x: F.round(x.cast("double") * scale).cast("long"))
+    qb = F.transform(b, lambda x: F.round(x.cast("double") * scale).cast("long"))
+    return F.aggregate(
+        F.zip_with(qa, qb, lambda x, y: x * y), F.lit(0).cast("long"), lambda s, v: s + v
+    )
+
+
+def quantized_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """Top-k by integer dot product — deterministic cross-engine.
+    Output: (query_id, vec_id, qdot, rank)."""
+    q = F.broadcast(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec"))
+    )
+    scored = (
+        corpus.select(F.col(id_col), F.col(vec_col).alias("_cvec"))
+        .crossJoin(q)
+        .where(F.col("query_id") != F.col(id_col))
+        .select(
+            "query_id",
+            id_col,
+            quantized_dot(F.col("_cvec"), F.col("_qvec"), scale).alias("qdot"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("qdot"), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def hyperplane_sketch(vec: Column, dim: int, n_planes: int = 16, seed: int = 0) -> Column:
+    """Deterministic random-hyperplane sign sketch → int bucket.
+
+    Plane p, coord i weight = xxhash64(seed,p,i) mapped to ±1 — derived,
+    not sampled, so identical across runs/executors with no broadcast of
+    plane matrices. sign(Σᵢ wᵢ·vᵢ) per plane packed into an int.
+    Distinct ``seed`` values give independent tables.
+    """
+    bits = []
+    for p in range(n_planes):
+        s = F.aggregate(
+            F.zip_with(
+                vec,
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda x, i: x.cast("double")
+                * F.when(
+                    F.pmod(F.xxhash64(F.lit(seed), F.lit(p), i), 2) == 0, 1.0
+                ).otherwise(-1.0),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(s > 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 12,
+    n_tables: int = 4,
+) -> DataFrame:
+    """Approximate top-k: score only corpus rows sharing an LSH bucket
+    with the query in ANY of ``n_tables`` sketches (seeded by offsetting
+    the plane index). Recall tunes with n_tables/n_planes.
+
+    Output: (query_id, vec_id, score, rank) — rank within candidates.
+    """
+    def sketches(df, idname):
+        cols = [F.col(idname), F.col(vec_col)]
+        out = df.select(*cols)
+        for t in range(n_tables):
+            # independent planes per table (seed=t); the additive offset
+            # keeps table bucket namespaces disjoint in one join column
+            planes = hyperplane_sketch(F.col(vec_col), dim, n_planes, seed=t)
+            out = out.withColumn(f"_b{t}", planes + F.lit(t * (1 << n_planes)))
+        return out
+
+    c = sketches(corpus, id_col)
+    q = sketches(queries.select(F.col(id_col).alias("query_id"), vec_col), "query_id")
+
+    # unpivot buckets → (id, bucket)
+    def unpivot(df, idname):
+        arr = F.array(*[F.col(f"_b{t}") for t in range(n_tables)])
+        return df.select(
+            idname, vec_col, F.explode(arr).alias("bucket")
+        )
+
+    cu = unpivot(c, id_col)
+    qu = F.broadcast(
+        unpivot(q, "query_id").withColumnRenamed(vec_col, "_qvec")
+    )
+    cands = (
+        cu.join(qu, "bucket")
+        .where(F.col("query_id") != F.col(id_col))
+        .select(
+            "query_id",
+            id_col,
+            cosine(F.col(vec_col), F.col("_qvec")).alias("score"),
+        )
+        .dropDuplicates(["query_id", id_col])
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.col(id_col))
+    return cands.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def cosine_near_dups(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 14,
+) -> DataFrame:
+    """Embedding near-duplicate pairs: LSH bucket join, in-bucket cosine
+    ≥ threshold. Output (id_a, id_b, score)."""
+    sk = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        hyperplane_sketch(F.col(vec_col), dim, n_planes).alias("bucket"),
+    )
+    l, r = sk.alias("l"), sk.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            cosine(F.col("l._v"), F.col("r._v")).alias("score"),
+        )
+        .where(F.col("score") >= threshold)
+    )

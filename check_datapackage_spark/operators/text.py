@@ -1,0 +1,161 @@
+"""Text analysis operators for training-data pipelines (SURVEY §2.8 /
+task brief): token counting, quality scoring, language ID, document
+fingerprinting.
+
+All hot-path expressions are built-in ``pyspark.sql.functions`` (JVM,
+whole-stage codegen). The oracle-matched variants use only functions
+with exact DuckDB equivalents (md5, regexp, length arithmetic) so the
+driver's value-hash comparison holds bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword marker sets for the n-gram/stopword
+# heuristic language ID. Deliberately small + deterministic.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "was"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "sich", "auf"],
+    "fr": ["le", "la", "les", "et", "des", "est", "dans", "que", "une", "pour"],
+    "es": ["el", "la", "los", "de", "que", "es", "en", "un", "por", "con"],
+}
+
+#: BPE-ish token regex: word pieces OR single non-space punctuation.
+TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def ws_token_count(col: Column) -> Column:
+    """Whitespace token count. Empty/blank string → 0.
+
+    Built from length arithmetic (identical semantics in ANSI SQL /
+    DuckDB, unlike split-on-regex edge cases).
+    """
+    trimmed = F.trim(col)
+    squashed = F.regexp_replace(trimmed, r"\s+", " ")
+    return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.length(squashed) - F.length(F.replace(squashed, F.lit(" "), F.lit(""))) + 1
+    )
+
+
+def regex_token_count(col: Column) -> Column:
+    """BPE-ish token count: |matches of TOKEN_RE| via regexp_count."""
+    return F.regexp_count(col, F.lit(TOKEN_RE))
+
+
+def punct_ratio(col: Column) -> Column:
+    """Fraction of non-alnum, non-space chars."""
+    n = F.length(col)
+    punct = F.length(F.regexp_replace(col, r"[A-Za-z0-9\s]", ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise(punct / n)
+
+
+def upper_ratio(col: Column) -> Column:
+    n = F.length(col)
+    up = F.length(F.regexp_replace(col, r"[^A-Z]", ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise(up / n)
+
+
+def stopword_hits(col: Column, words: Sequence[str]) -> Column:
+    """Number of occurrences of any marker word (word-bounded, lc)."""
+    pat = r"\b(" + "|".join(words) + r")\b"
+    return F.regexp_count(F.lower(col), F.lit(pat))
+
+
+def quality_score(col: Column, n_chars: Optional[Column] = None) -> Column:
+    """Heuristic document quality in [0,1]: length band + punctuation +
+    stopword density. Deterministic arithmetic only (SQL-expressible)."""
+    n = n_chars if n_chars is not None else F.length(col)
+    toks = ws_token_count(col)
+    len_ok = F.when((n >= 200) & (n <= 20000), F.lit(1.0)).otherwise(
+        F.when(n < 200, n / 200.0).otherwise(F.lit(20000.0) / n)
+    )
+    p = punct_ratio(col)
+    punct_ok = F.when(p <= 0.1, F.lit(1.0)).otherwise(
+        F.greatest(F.lit(0.0), 1.0 - (p - 0.1) * 5.0)
+    )
+    sw = stopword_hits(col, LANG_MARKERS["en"])
+    sw_density = F.when(toks == 0, F.lit(0.0)).otherwise(sw / toks)
+    sw_ok = F.least(F.lit(1.0), sw_density * 5.0)
+    return F.round((len_ok + punct_ok + sw_ok) / 3.0, 6)
+
+
+def lang_scores(col: Column) -> dict[str, Column]:
+    """Per-language marker-hit counts."""
+    return {lang: stopword_hits(col, words) for lang, words in LANG_MARKERS.items()}
+
+
+def detect_lang(col: Column, default: str = "und") -> Column:
+    """Pick the language with the most marker hits; ties broken by the
+    fixed LANG_MARKERS order; zero hits → ``default``.
+
+    Pure CASE/greatest expression — reproducible in ANSI SQL.
+    """
+    scores = lang_scores(col)
+    best = F.greatest(*scores.values())
+    expr = F.lit(default)
+    # build reversed so earlier languages win ties
+    for lang in reversed(list(scores)):
+        expr = F.when((scores[lang] > 0) & (scores[lang] == best), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def normalize_text(col: Column) -> Column:
+    """Canonical form for fingerprinting: lowercase, squash whitespace."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def fingerprint_md5(col: Column) -> Column:
+    """Content fingerprint over the normalized text (md5 — portable to
+    any SQL engine for oracle checks)."""
+    return F.md5(normalize_text(col))
+
+
+def fingerprint_xxh64(col: Column) -> Column:
+    """Scale-path fingerprint: xxhash64 (8-byte, cheaper shuffles than
+    md5 strings; Spark-side only)."""
+    return F.xxhash64(normalize_text(col))
+
+
+def rolling_fingerprints(col: Column, window: int = 8, step: int = 4) -> Column:
+    """Rolling-window fingerprints: hash every ``window``-word shingle
+    at ``step`` stride — array<long>. Basis for winnowing-style
+    near-dup fingerprinting; all JVM-side higher-order functions."""
+    words = F.split(normalize_text(col), " ")
+    n = F.size(words)
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(n - window + 1, F.lit(1)),
+        F.lit(step),
+    )
+    return F.transform(
+        starts,
+        lambda s: F.xxhash64(F.array_join(F.slice(words, s, window), " ")),
+    )
+
+
+def text_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    by: Optional[str] = None,
+) -> DataFrame:
+    """One-pass text profile per group: doc count, token stats, quality,
+    language mix."""
+    c = F.col(text_col)
+    pre = df.select(
+        *([F.col(by)] if by else []),
+        ws_token_count(c).alias("_toks"),
+        quality_score(c).alias("_q"),
+        detect_lang(c).alias("_lang"),
+    )
+    group = [by] if by else []
+    return pre.groupBy(*group).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_toks").alias("total_tokens"),
+        F.avg("_toks").alias("avg_tokens"),
+        F.avg("_q").alias("avg_quality"),
+        F.sum((F.col("_lang") == "en").cast("long")).alias("n_en"),
+    )

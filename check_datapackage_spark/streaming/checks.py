@@ -1,0 +1,99 @@
+"""Continuous validation over Structured Streaming.
+
+Not in the reference (SURVEY §2.8: "no streaming operators exist
+anywhere in the reference") — this is the engine's extension for
+validating data as it lands:
+
+* :func:`streaming_violations` — the SAME compiled checks run on a
+  streaming DataFrame; the fused violation projection is stateless, so
+  it works unchanged in append mode (this is the payoff of compiling
+  checks to Column expressions).
+* :func:`windowed_violation_counts` — watermarked windowed pass/fail
+  counts (late data handled by the watermark).
+* :func:`foreach_batch_validator` — exactly-once micro-batch validation:
+  run the full batch plan (incl. uniqueness/referential, which need
+  joins not allowed in pure append streams) per epoch via foreachBatch.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..compile import CompiledCheck
+from ..plans.validation import violations_plan
+from ..spec import TableSpec
+
+
+def streaming_violations(
+    stream: DataFrame,
+    checks: Sequence[CompiledCheck],
+    table_name: str,
+    row_key: Optional[str] = None,
+    partition: Optional[str] = None,
+) -> DataFrame:
+    """Stateless fused violation projection on a stream (append mode).
+
+    Identical plan to the batch path — per-row checks are pure
+    projections, so Spark runs them per micro-batch with no state store.
+    """
+    return violations_plan(
+        stream, checks, table_name, row_key=row_key, partition=partition
+    )
+
+
+def windowed_violation_counts(
+    stream: DataFrame,
+    checks: Sequence[CompiledCheck],
+    ts_col: str,
+    window: str = "5 minutes",
+    slide: Optional[str] = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked windowed fail counts per check.
+
+    Output (append mode): (window, check, fail_count). State is bounded
+    by the watermark; late rows beyond it are dropped, matching the
+    standard Structured Streaming contract.
+    """
+    fails = [
+        F.sum(F.when(~ck.ok, F.lit(1)).otherwise(F.lit(0))).alias(f"_c{i}")
+        for i, ck in enumerate(checks)
+    ]
+    win = (
+        F.window(F.col(ts_col), window, slide) if slide else F.window(F.col(ts_col), window)
+    )
+    wide = (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(win.alias("window"))
+        .agg(*fails)
+    )
+    stack_args = ", ".join(f"'{ck.name}', _c{i}" for i, ck in enumerate(checks))
+    return wide.selectExpr(
+        "window", f"stack({len(checks)}, {stack_args}) as (check, fail_count)"
+    )
+
+
+def foreach_batch_validator(
+    spec: TableSpec,
+    dims: Optional[dict] = None,
+    sink: Optional[Callable[[DataFrame, int], None]] = None,
+    extra_checks: Optional[list] = None,
+):
+    """Build a ``foreachBatch`` function running the FULL batch
+    validation (uniqueness + referential included) per micro-batch.
+
+    Use: ``stream.writeStream.foreachBatch(foreach_batch_validator(spec,
+    dims, sink)).start()``. ``sink(violations_df, epoch_id)`` persists
+    results (e.g. append to the audit ledger).
+    """
+    from ..plans.validation import check_table
+
+    def _run(batch_df: DataFrame, epoch_id: int) -> None:
+        res = check_table(batch_df, spec, dims=dims, extra_checks=extra_checks)
+        if sink is not None:
+            sink(res.violations, epoch_id)
+
+    return _run

@@ -1,0 +1,214 @@
+"""Text analysis + dedup + similarity operator tests on the documents /
+embeddings testdata tables."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from check_datapackage_spark.operators import dedup, similarity, text
+from tests.conftest import load
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load(spark, sf_dir, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load(spark, sf_dir, "embeddings").cache()
+
+
+# --- text ------------------------------------------------------------------
+
+
+def test_ws_token_count_basics(spark):
+    df = spark.createDataFrame(
+        [("a b  c",), ("",), ("   ",), ("one",), ("x\ty\nz w",)], ["t"]
+    )
+    got = [r[0] for r in df.select(text.ws_token_count(F.col("t"))).collect()]
+    assert got == [3, 0, 0, 1, 4]
+
+
+def test_regex_token_count(spark):
+    df = spark.createDataFrame([("Hello, world! 123",)], ["t"])
+    # tokens: Hello , world ! 123 → 5
+    assert df.select(text.regex_token_count(F.col("t"))).collect()[0][0] == 5
+
+
+def test_detect_lang_markers(spark):
+    df = spark.createDataFrame(
+        [
+            ("the cat and the dog is in the house",),
+            ("der Hund und die Katze ist nicht da",),
+            ("le chat et les chiens dans la maison",),
+            ("xyzzy plugh qwert",),
+        ],
+        ["t"],
+    )
+    got = [r[0] for r in df.select(text.detect_lang(F.col("t"))).collect()]
+    assert got == ["en", "de", "fr", "und"]
+
+
+def test_quality_score_range(spark, docs):
+    rows = docs.limit(200).select(
+        text.quality_score(F.col("text")).alias("q")
+    ).collect()
+    assert all(0.0 <= r["q"] <= 1.0 for r in rows)
+
+
+def test_n_chars_invariant_against_duckdb(spark, docs, sf_dir):
+    """documents.n_chars == length(text) — the per-row invariant analog."""
+    con = duckdb.connect()
+    exp = con.sql(
+        f"SELECT count(*) FROM '{sf_dir}/documents.parquet' WHERE length(text) <> n_chars"
+    ).fetchone()[0]
+    got = docs.where(F.length("text") != F.col("n_chars")).count()
+    assert got == exp
+
+
+def test_text_profile_runs(spark, docs):
+    rows = text.text_profile(docs, by="lang").collect()
+    assert len(rows) >= 1
+    assert all(r["n_docs"] > 0 for r in rows)
+
+
+def test_fingerprint_md5_matches_duckdb(spark, docs, sf_dir):
+    got = {
+        r["doc_id"]: r["fp"]
+        for r in docs.limit(50)
+        .select("doc_id", text.fingerprint_md5(F.col("text")).alias("fp"))
+        .collect()
+    }
+    con = duckdb.connect()
+    exp = dict(
+        con.sql(
+            f"""SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                FROM '{sf_dir}/documents.parquet' LIMIT 50"""
+        ).fetchall()
+    )
+    for k, v in got.items():
+        assert exp[k] == v
+
+
+# --- dedup -----------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark, docs):
+    """Inject exact + near duplicates deterministically."""
+    base = docs.limit(200)
+    exact = base.limit(5).withColumn("doc_id", F.col("doc_id") + 1000000)
+    near = (
+        base.limit(5)
+        .withColumn("doc_id", F.col("doc_id") + 2000000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" extra tail words here")))
+    )
+    return base.unionByName(exact).unionByName(near).cache()
+
+
+def test_exact_dup_groups(spark, docs_with_dups):
+    groups = dedup.exact_dup_groups(docs_with_dups).collect()
+    dup_ids = {i for g in groups for i in g["doc_ids"]}
+    assert sum(g["n_dups"] for g in groups) >= 10
+    assert any(i >= 1000000 for i in dup_ids)
+
+
+def test_exact_dedup_keeps_one_per_group(spark, docs_with_dups):
+    before = docs_with_dups.count()
+    after = dedup.exact_dedup(docs_with_dups).count()
+    groups = dedup.exact_dup_groups(docs_with_dups).collect()
+    removed = sum(g["n_dups"] - 1 for g in groups)
+    assert after == before - removed
+
+
+def test_minhash_finds_near_dups(spark, docs_with_dups):
+    pairs = dedup.minhash_near_dups(
+        docs_with_dups, threshold=0.5, n_hashes=32, bands=16
+    ).collect()
+    found = {(p["id_a"], p["id_b"]) for p in pairs}
+    # each near-dup (orig_id + 2000000) should pair with its original
+    near_pairs = {
+        (a, b)
+        for (a, b) in found
+        if b - a == 2000000 or b - a == 1000000
+    }
+    assert len(near_pairs) >= 8, found
+    # jaccard sanity
+    assert all(0.0 <= p["jaccard"] <= 1.0 for p in pairs)
+
+
+def test_simhash_near_dups(spark, docs_with_dups):
+    pairs = dedup.simhash_near_dups(docs_with_dups, max_hamming=6).collect()
+    found = {(p["id_a"], p["id_b"]) for p in pairs}
+    # the 5 planted exact dups must appear (hamming 0)
+    base_ids = [r["doc_id"] for r in docs_with_dups.orderBy("doc_id").limit(5).collect()]
+    planted = {(a, a + 1000000) for a in base_ids}
+    assert planted <= found, (planted, found)
+    zero = {(p["id_a"], p["id_b"]) for p in pairs if p["hamming"] == 0}
+    assert planted <= zero
+    assert all(p["hamming"] <= 6 for p in pairs)
+
+
+# --- similarity ------------------------------------------------------------
+
+
+def test_brute_force_topk_self_similarity(spark, emb):
+    corpus = emb.limit(500)
+    queries = corpus.limit(3)
+    res = similarity.brute_force_topk(corpus, queries, k=5).collect()
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert len(by_q) == 3
+    for q, rows in by_q.items():
+        assert len(rows) == 5
+        assert all(-1.0001 <= r["score"] <= 1.0001 for r in rows)
+        ranks = sorted(r["rank"] for r in rows)
+        assert ranks == [1, 2, 3, 4, 5]
+
+
+def test_quantized_topk_deterministic(spark, emb):
+    corpus = emb.limit(300)
+    queries = corpus.limit(2)
+    a = similarity.quantized_topk(corpus, queries, k=3).collect()
+    b = similarity.quantized_topk(corpus, queries, k=3).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_lsh_topk_finds_planted_neighbors(spark, emb):
+    """LSH's contract: HIGH-similarity pairs collide with near-certainty.
+    Queries are tiny perturbations of corpus vectors (cos ≈ 0.9999) —
+    every query's true nearest neighbor must be in the LSH top-k."""
+    dim = len(emb.select("embedding").first()[0])
+    corpus = emb.limit(400).cache()
+    queries = corpus.limit(3).select(
+        (F.col("vec_id") + 5000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: x + F.lit(0.001)
+        ).alias("embedding"),
+        "label",
+    )
+    approx = similarity.lsh_topk(
+        corpus, queries, dim=dim, k=5, n_planes=8, n_tables=8
+    ).collect()
+    got = {(r["query_id"], r["vec_id"]) for r in approx}
+    planted = {(q + 5000, q) for q in [0, 1, 2]}
+    assert planted <= got, (planted, got)
+    # planted neighbor should rank first among candidates
+    top1 = {(r["query_id"], r["vec_id"]) for r in approx if r["rank"] == 1}
+    assert planted == top1
+
+
+def test_cosine_near_dups_finds_planted(spark, emb):
+    base = emb.limit(200)
+    dup = base.limit(4).withColumn("vec_id", F.col("vec_id") + 900000)
+    dim = len(emb.select("embedding").first()[0])
+    res = similarity.cosine_near_dups(
+        base.unionByName(dup), dim=dim, threshold=0.999
+    ).collect()
+    found = {(r["id_a"], r["id_b"]) for r in res}
+    planted = {(a, a + 900000) for a in [r["vec_id"] for r in base.limit(4).collect()]}
+    assert planted <= found, (planted, found)
