@@ -1,0 +1,95 @@
+"""CLI / spark-submit entrypoint — the reference's ``check-datapackage
+check <source>`` analog (ref cli.py:50-85, SURVEY §3.2).
+
+    spark-submit --py-files engine.zip -m check_datapackage_spark.cli \
+        --data /root/testdata/sf0.01 --table lineitem \
+        --spec spec.json [--resource lineitem] \
+        [--audit /path/ledger] [--strict] [--error] \
+        [--exclude-type pattern] [--exclude-jsonpath '$.t[*].col']
+
+Exit code = 1 when violations were found and --error is set
+(ref check.py:288-289: error=True raises DataPackageError).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from .issue import DataPackageError, explain
+from .plans.validation import check_table
+from .session import get_spark
+from .sources.registry import load_table, read_spec, write_violations
+from .spec import CheckConfig, Exclusion
+
+
+def strictify(spec):
+    """Strict profile (ref _set_should_fields_to_required,
+    check.py:516-538): promote every declared field to required and add
+    the reference's strict name pattern when a ``name`` field exists."""
+    from dataclasses import replace
+
+    fields = []
+    for f in spec.fields:
+        c = f.constraints
+        if f.name == "name" and c.pattern is None:
+            c = replace(c, pattern=r"^[a-z0-9._-]+$")  # ref check.py:518-527
+        fields.append(replace(f, constraints=replace(c, required=True)))
+    return replace(spec, fields=tuple(fields))
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="check-datapackage-spark")
+    p.add_argument("--data", required=True, help="sf dir or iceberg:<catalog.db>")
+    p.add_argument("--table", required=True)
+    p.add_argument("--spec", required=True, help="datapackage.json-shaped spec")
+    p.add_argument("--resource", default=None)
+    p.add_argument("--dims", nargs="*", default=[], help="dimension tables to load")
+    p.add_argument("--audit", default=None, help="violations sink path")
+    p.add_argument("--strict", action="store_true")
+    p.add_argument("--error", action="store_true")
+    p.add_argument("--exclude-type", nargs="*", default=[])
+    p.add_argument("--exclude-jsonpath", nargs="*", default=[])
+    p.add_argument("--max-examples", type=int, default=None)
+    p.add_argument("--cores", type=int, default=None)
+    args = p.parse_args(argv)
+
+    spark = get_spark("cdp-cli", cores=args.cores)
+    try:
+        spec = read_spec(args.spec, resource=args.resource or args.table)
+        if args.strict:
+            spec = strictify(spec)
+        config = CheckConfig(
+            strict=args.strict,
+            exclusions=tuple(
+                [Exclusion(type=t) for t in args.exclude_type]
+                + [Exclusion(jsonpath=j) for j in args.exclude_jsonpath]
+            ),
+            max_examples_per_check=args.max_examples,
+        )
+        df = load_table(spark, args.data, args.table)
+        dims = {d: load_table(spark, args.data, d) for d in args.dims}
+        res = check_table(df, spec, config=config, dims=dims)
+
+        if res.spec_issues:
+            print(explain(res.spec_issues), file=sys.stderr)
+        n = res.violations.count()
+        if args.audit:
+            write_violations(res.violations, args.audit)
+        res.summary.orderBy("check").show(100, truncate=False)
+        if n == 0 and not res.spec_issues:
+            print("All checks passed!")  # ref cli.py:84
+            return 0
+        print(f"{n} violation row(s) found.", file=sys.stderr)
+        res.violations.show(20, truncate=False)
+        if args.error:
+            raise DataPackageError(f"{n} violation row(s); see output above")
+        return 0
+    except DataPackageError:
+        return 1
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

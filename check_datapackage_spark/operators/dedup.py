@@ -82,21 +82,33 @@ def shingles(col: Column, k: int = 5) -> Column:
     )
 
 
-def minhash_signature(shingle_col: Column, n_hashes: int = 64) -> Column:
-    """MinHash signature: per seed i, min over shingles of
-    xxhash64(shingle, i) — array<long> of length n_hashes.
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 64,
+    k_shingle: int = 5,
+) -> DataFrame:
+    """MinHash signatures as wide columns: (_id, _h0.._h{n-1}).
 
-    Entirely JVM-side: transform + array_min per seed; Catalyst
-    evaluates the seeds over one pass of the shingle array.
+    Shape matters here: computing the signature as
+    ``array(array_min(transform(shingles, hash_i)) for i)`` re-inlines
+    the whole shingle expression once PER SEED (higher-order functions
+    fall out of whole-stage codegen, so no common-subexpression reuse) —
+    measured 40× slower. Instead: explode shingles ONCE, hash with every
+    seed (plain codegen'd xxhash64), and take per-doc mins in one hash
+    aggregate. Map-side partial aggregation reduces each task to one
+    row per doc before the shuffle, so shuffle traffic is
+    |docs| × n_hashes longs regardless of document length.
     """
-    return F.array(
-        *[
-            F.array_min(
-                F.transform(shingle_col, lambda s: F.xxhash64(s, F.lit(i)))
-            )
-            for i in range(n_hashes)
-        ]
+    ex = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(shingles(F.col(text_col), k_shingle)).alias("_sh"),
     )
+    aggs = [
+        F.min(F.xxhash64("_sh", F.lit(i))).alias(f"_h{i}") for i in range(n_hashes)
+    ]
+    return ex.groupBy("_id").agg(*aggs)
 
 
 def minhash_candidates(
@@ -114,20 +126,13 @@ def minhash_candidates(
     id_a < id_b.
     """
     rows_per_band = n_hashes // bands
-    sig = minhash_signature(shingles(F.col(text_col), k_shingle), n_hashes)
-    with_sig = df.select(F.col(id_col).alias("_id"), sig.alias("_sig"))
+    with_sig = minhash_signatures(df, text_col, id_col, n_hashes, k_shingle)
 
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
             F.xxhash64(
-                F.array_join(
-                    F.transform(
-                        F.slice("_sig", b * rows_per_band + 1, rows_per_band),
-                        lambda x: x.cast("string"),
-                    ),
-                    ",",
-                )
+                *[F.col(f"_h{b * rows_per_band + r}") for r in range(rows_per_band)]
             ).alias("bucket"),
         )
         for b in range(bands)
@@ -162,12 +167,20 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Exact shingle-Jaccard for candidate pairs.
 
-    Joins the (small) candidate set back to the corpus twice — each join
-    shuffles only candidate ids, the corpus side is pruned to (id,
-    shingles).
+    Joins the (small) candidate set back to the corpus twice — the
+    corpus side is first semi-joined down to candidate ids (broadcast of
+    the tiny id set), so shingles are computed only for docs that appear
+    in some pair, not the whole corpus.
     """
-    sh = df.select(
-        F.col(id_col).alias("_id"), shingles(F.col(text_col), k_shingle).alias("_sh")
+    cand_ids = F.broadcast(
+        pairs.select(F.col("id_a").alias("_id"))
+        .unionByName(pairs.select(F.col("id_b").alias("_id")))
+        .distinct()
+    )
+    sh = (
+        df.select(F.col(id_col).alias("_id"), F.col(text_col))
+        .join(cand_ids, "_id", "left_semi")
+        .select("_id", shingles(F.col(text_col), k_shingle).alias("_sh"))
     )
     a = sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
     b = sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
@@ -234,6 +247,13 @@ def simhash_signatures(
     """
     from pyspark.sql import types as T
 
+    import hashlib
+
+    def _stable_hash(w: str) -> int:
+        # process-independent 60-bit hash (python's builtin hash() is
+        # salted per-process and would break determinism across runs)
+        return int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "little") & 0xFFFFFFFFFFFFFFF
+
     @F.pandas_udf(T.LongType())
     def simhash(texts: pd.Series) -> pd.Series:
         out = np.zeros(len(texts), dtype=np.int64)
@@ -244,7 +264,7 @@ def simhash_signatures(
             if not words:
                 continue
             hs = np.array(
-                [np.int64(hash(w) & 0xFFFFFFFFFFFFFFF) for w in words],
+                [np.int64(_stable_hash(w)) for w in words],
                 dtype=np.int64,
             )
             bits = ((hs[:, None] >> np.arange(60)) & 1) * 2 - 1

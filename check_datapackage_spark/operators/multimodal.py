@@ -215,4 +215,6 @@ def synth_assets(spark, n: int = 64) -> DataFrame:
             T.StructField("meta", ASSET_META_SCHEMA, True),
         ]
     )
-    return spark.createDataFrame(rows, schema)
+    # few partitions for a tiny fixture — one Python worker per partition
+    # in mapInPandas, so default parallelism would be pure overhead here
+    return spark.createDataFrame(rows, schema).coalesce(4)

@@ -1,0 +1,757 @@
+"""Driver-contract queries: each SURVEY §2 operator as a
+(spark_query, duckdb_oracle_sql) pair over the testdata tables.
+
+Exactness rules (the driver value-hashes results):
+* identical column names/order in Spark and SQL (every computed column
+  aliased on both sides);
+* integer arithmetic wherever possible; decimal-exact aggregation for
+  money sums (then one cast to double — both engines cast the same
+  exact decimal);
+* doubles only from per-row scalar expressions (bit-identical across
+  engines) or rounded aggregates;
+* no engine-specific hash functions in oracle-matched queries (md5 is
+  the portable fingerprint; xxhash64 stays Spark-side in rows-only
+  queries).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators import dedup, drift, multimodal, referential, similarity, stats, text, uniqueness
+from .operators.drift import bucket_sql
+from .plans.validation import violations_plan
+from .spec import TableSpec
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from .sources.registry import load_table
+
+    return load_table(spark, sf_dir, name)
+
+
+def _dec(col, scale: int = 2):
+    return col.cast(f"decimal(18,{scale})")
+
+
+# ---------------------------------------------------------------------------
+# q01 — pricing summary (TPC-H Q1 shape; C6-range analog + fused agg)
+# ---------------------------------------------------------------------------
+
+
+def q01_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    f = li.where(F.col("l_shipdate") <= F.to_timestamp(F.lit("1998-09-02")))
+    one = F.lit(1).cast("decimal(18,2)")
+    return (
+        f.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec(F.col("l_quantity"))).cast("double").alias("sum_qty"),
+            F.sum(_dec(F.col("l_extendedprice"))).cast("double").alias("sum_base_price"),
+            F.sum(
+                _dec(F.col("l_extendedprice")) * (one - _dec(F.col("l_discount")))
+            )
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q01_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS sum_disc_price,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# q02 — one-pass column profile (stats operator)
+# ---------------------------------------------------------------------------
+
+
+def q02_profile_lineitem(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").isNull().cast("long")).alias("qty_nulls"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.round(F.percentile(F.col("l_quantity"), F.lit(0.5)), 6).alias("median_qty"),
+        F.countDistinct("l_orderkey").alias("distinct_orders"),
+        F.min("l_shipdate").cast("date").cast("string").alias("min_shipdate"),
+    )
+
+
+Q02_SQL = """
+SELECT COUNT(*) AS n_rows,
+       COUNT(*) - COUNT(l_quantity) AS qty_nulls,
+       MIN(l_quantity) AS min_qty,
+       MAX(l_quantity) AS max_qty,
+       ROUND(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+       COUNT(DISTINCT l_orderkey) AS distinct_orders,
+       CAST(CAST(MIN(l_shipdate) AS DATE) AS VARCHAR) AS min_shipdate
+FROM lineitem
+"""
+
+
+# ---------------------------------------------------------------------------
+# q03 — long-form null rates (C1 profile over documents)
+# ---------------------------------------------------------------------------
+
+
+def q03_null_rates_documents(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    out = stats.null_rates(docs, ["doc_id", "text", "lang", "source", "n_chars"])
+    return out.select("column", "n_rows", "n_null").orderBy("column")
+
+
+Q03_SQL = """
+WITH base AS (
+  SELECT COUNT(*) AS n_rows,
+         COUNT(*) - COUNT(doc_id) AS d, COUNT(*) - COUNT(text) AS t,
+         COUNT(*) - COUNT(lang) AS l, COUNT(*) - COUNT(source) AS s,
+         COUNT(*) - COUNT(n_chars) AS n
+  FROM documents)
+SELECT 'doc_id' AS "column", n_rows, d AS n_null FROM base
+UNION ALL SELECT 'lang', n_rows, l FROM base
+UNION ALL SELECT 'n_chars', n_rows, n FROM base
+UNION ALL SELECT 'source', n_rows, s FROM base
+UNION ALL SELECT 'text', n_rows, t FROM base
+ORDER BY "column"
+"""
+
+
+# ---------------------------------------------------------------------------
+# q04 — duplicate keys (C11 uniqueness, hash-agg)
+# ---------------------------------------------------------------------------
+
+
+def q04_dup_keys_lineitem(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return uniqueness.dup_key_counts(li, ["l_orderkey", "l_linenumber"]).orderBy(
+        "l_orderkey", "l_linenumber"
+    )
+
+
+Q04_SQL = """
+SELECT l_orderkey, l_linenumber, COUNT(*) AS dup_count
+FROM lineitem GROUP BY 1, 2 HAVING COUNT(*) > 1
+ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# q05 — uniqueness violation rows (full Issue contract)
+# ---------------------------------------------------------------------------
+
+
+def q05_unique_violations(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    v = uniqueness.uniqueness_violations(li, ["l_orderkey", "l_linenumber"], "lineitem")
+    return v.orderBy("jsonpath")
+
+
+Q05_SQL = """
+SELECT '$.lineitem[' || CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)
+         || '].l_orderkey,l_linenumber' AS jsonpath,
+       'unique' AS type,
+       'value of `l_orderkey,l_linenumber` must be unique but appears more than once' AS message,
+       CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR) AS instance,
+       'l_orderkey,l_linenumber.unique' AS "check",
+       'l_orderkey,l_linenumber' AS "column",
+       CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR) AS row_key,
+       CAST(NULL AS VARCHAR) AS partition
+FROM lineitem GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1
+ORDER BY jsonpath
+"""
+
+
+# ---------------------------------------------------------------------------
+# q06 — referential integrity (broadcast anti-join; damaged dim to get rows)
+# ---------------------------------------------------------------------------
+
+
+def q06_referential_missing(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    orders_half = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") % 2 == 0)
+    misses = referential.missing_keys(li, orders_half, ["l_orderkey"], ["o_orderkey"])
+    return (
+        misses.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_rows_affected"))
+        .orderBy("l_orderkey")
+    )
+
+
+Q06_SQL = """
+SELECT l_orderkey, COUNT(*) AS n_rows_affected
+FROM lineitem l
+WHERE l.l_orderkey IS NOT NULL AND NOT EXISTS (
+  SELECT 1 FROM orders o WHERE o.o_orderkey % 2 = 0 AND o.o_orderkey = l.l_orderkey)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# q07 — enum check (C5) violation rows on orders
+# ---------------------------------------------------------------------------
+
+ORDERS_SPEC = TableSpec.from_dict(
+    {
+        "name": "orders",
+        "schema": {
+            "fields": [
+                {
+                    "name": "o_orderkey",
+                    "type": "integer",
+                    "constraints": {"required": True},
+                },
+                {
+                    "name": "o_orderstatus",
+                    "type": "string",
+                    "constraints": {"enum": ["F", "O"]},
+                },
+                {
+                    "name": "o_orderpriority",
+                    "type": "string",
+                    "constraints": {"pattern": "^[1-5]-[A-Z ]+$"},
+                },
+            ],
+            "primaryKey": "o_orderkey",
+            "foreignKeys": [
+                {
+                    "fields": "o_custkey",
+                    "reference": {"resource": "customer", "fields": "c_custkey"},
+                }
+            ],
+        },
+    }
+)
+
+
+def q07_check_orders_fused(spark, sf_dir):
+    """Flagship: full check_table on orders — fused row checks +
+    uniqueness + referential, one violations DataFrame."""
+    from .plans.validation import check_table
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    res = check_table(orders, ORDERS_SPEC, dims={"customer": customer})
+    return res.violations.orderBy("jsonpath", "type")
+
+
+Q07_SQL = """
+SELECT '$.orders[' || CAST(o_orderkey AS VARCHAR) || '].o_orderstatus' AS jsonpath,
+       'enum' AS type,
+       'value is not one of [''F'', ''O'']' AS message,
+       o_orderstatus AS instance,
+       'o_orderstatus.enum' AS "check",
+       'o_orderstatus' AS "column",
+       CAST(o_orderkey AS VARCHAR) AS row_key,
+       CAST(NULL AS VARCHAR) AS partition
+FROM orders
+WHERE o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('F', 'O')
+ORDER BY jsonpath, type
+"""
+
+
+# ---------------------------------------------------------------------------
+# q08 — histogram (drift building block)
+# ---------------------------------------------------------------------------
+
+_HIST_ARGS = dict(lo=0.0, hi=600.0, n_buckets=12)
+
+
+def q08_histogram_nchars(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return drift.histogram(docs, "n_chars", by="lang", **_HIST_ARGS).orderBy(
+        "lang", "bucket"
+    )
+
+
+Q08_SQL = f"""
+SELECT lang, {bucket_sql('n_chars', 0.0, 600.0, 12)} AS bucket, COUNT(*) AS count
+FROM documents WHERE n_chars IS NOT NULL
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# q09 — drift PSI/KL per group vs global
+# ---------------------------------------------------------------------------
+
+
+def q09_drift_psi_nchars(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    d = drift.drift_by_group(docs, "n_chars", "source", 0.0, 600.0, 12)
+    return d.select(
+        "source", F.round("kl", 4).alias("kl"), F.round("psi", 4).alias("psi")
+    ).orderBy("source")
+
+
+Q09_SQL = f"""
+WITH h AS (
+  SELECT source, {bucket_sql('n_chars', 0.0, 600.0, 12)} AS bucket, COUNT(*) AS count
+  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2),
+tot AS (SELECT bucket, SUM(count) AS gcount FROM h GROUP BY 1),
+gt AS (SELECT source, SUM(count) AS gn FROM h GROUP BY 1),
+tt AS (SELECT SUM(gcount) AS tn FROM tot),
+j AS (
+  SELECT h.source,
+         GREATEST(CAST(h.count AS DOUBLE) / gt.gn, 1e-9) AS pa,
+         GREATEST(CAST(tot.gcount AS DOUBLE) / tt.tn, 1e-9) AS pb
+  FROM h JOIN tot USING (bucket) JOIN gt USING (source) CROSS JOIN tt)
+SELECT source,
+       ROUND(SUM(pa * LN(pa / pb)), 4) AS kl,
+       ROUND(SUM((pa - pb) * LN(pa / pb)), 4) AS psi
+FROM j GROUP BY source ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# q10 — token counting (whitespace + BPE-ish regex)
+# ---------------------------------------------------------------------------
+
+
+def q10_token_counts(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    pre = docs.select(
+        "lang",
+        text.ws_token_count(F.col("text")).alias("_ws"),
+        text.regex_token_count(F.col("text")).alias("_re"),
+    )
+    return (
+        pre.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_ws").alias("total_ws_tokens"),
+            F.sum("_re").cast("long").alias("total_regex_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+Q10_SQL = r"""
+WITH pre AS (
+  SELECT lang,
+         CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+              ELSE LENGTH(regexp_replace(TRIM(text), '\s+', ' ', 'g'))
+                   - LENGTH(REPLACE(regexp_replace(TRIM(text), '\s+', ' ', 'g'), ' ', ''))
+                   + 1 END AS ws,
+         LEN(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS re
+  FROM documents)
+SELECT lang, COUNT(*) AS n_docs,
+       SUM(ws) AS total_ws_tokens,
+       CAST(SUM(re) AS BIGINT) AS total_regex_tokens
+FROM pre GROUP BY lang ORDER BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# q11 — language ID vs labeled lang (confusion counts)
+# ---------------------------------------------------------------------------
+
+
+def q11_langid(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", text.detect_lang(F.col("text")).alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "predicted")
+    )
+
+
+def _lang_sql_scores() -> str:
+    parts = []
+    for lang, words in text.LANG_MARKERS.items():
+        pat = r"\b(" + "|".join(words) + r")\b"
+        parts.append(f"LEN(regexp_extract_all(LOWER(text), '{pat}')) AS s_{lang}")
+    return ", ".join(parts)
+
+
+Q11_SQL = f"""
+WITH sc AS (SELECT lang, {_lang_sql_scores()} FROM documents),
+p AS (
+  SELECT lang,
+    CASE
+      WHEN s_en > 0 AND s_en = GREATEST(s_en, s_de, s_fr, s_es) THEN 'en'
+      WHEN s_de > 0 AND s_de = GREATEST(s_en, s_de, s_fr, s_es) THEN 'de'
+      WHEN s_fr > 0 AND s_fr = GREATEST(s_en, s_de, s_fr, s_es) THEN 'fr'
+      WHEN s_es > 0 AND s_es = GREATEST(s_en, s_de, s_fr, s_es) THEN 'es'
+      ELSE 'und' END AS predicted
+  FROM sc)
+SELECT lang, predicted, COUNT(*) AS n FROM p GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# q12 — quality scoring (low-quality counts per source)
+# ---------------------------------------------------------------------------
+
+
+def q12_quality(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    q = docs.select(
+        "source", text.quality_score(F.col("text"), F.col("n_chars")).alias("_q")
+    )
+    return (
+        q.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("_q") < 0.5).cast("long")).alias("n_low_quality"),
+            F.sum((F.col("_q") >= 0.8).cast("long")).alias("n_high_quality"),
+        )
+        .orderBy("source")
+    )
+
+
+_EN_PAT = r"\b(" + "|".join(text.LANG_MARKERS["en"]) + r")\b"
+
+Q12_SQL = rf"""
+WITH pre AS (
+  SELECT source, CAST(n_chars AS DOUBLE) AS n,
+         CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+              ELSE LENGTH(regexp_replace(TRIM(text), '\s+', ' ', 'g'))
+                   - LENGTH(REPLACE(regexp_replace(TRIM(text), '\s+', ' ', 'g'), ' ', ''))
+                   + 1 END AS toks,
+         CAST(LENGTH(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
+           / NULLIF(LENGTH(text), 0) AS praw,
+         LEN(regexp_extract_all(LOWER(text), '{_EN_PAT}')) AS sw
+  FROM documents),
+sc AS (
+  SELECT source,
+    ROUND((
+      (CASE WHEN n >= 200 AND n <= 20000 THEN 1.0
+            WHEN n < 200 THEN n / 200.0 ELSE 20000.0 / n END)
+      + (CASE WHEN COALESCE(praw, 0.0) <= 0.1 THEN 1.0
+              ELSE GREATEST(0.0, 1.0 - (COALESCE(praw, 0.0) - 0.1) * 5.0) END)
+      + LEAST(1.0, (CASE WHEN toks = 0 THEN 0.0
+                         ELSE CAST(sw AS DOUBLE) / toks END) * 5.0)
+    ) / 3.0, 6) AS q
+  FROM pre)
+SELECT source, COUNT(*) AS n_docs,
+       SUM(CASE WHEN q < 0.5 THEN 1 ELSE 0 END) AS n_low_quality,
+       SUM(CASE WHEN q >= 0.8 THEN 1 ELSE 0 END) AS n_high_quality
+FROM sc GROUP BY source ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# q13 — exact-dup fingerprints (md5, portable)
+# ---------------------------------------------------------------------------
+
+
+def q13_fingerprints(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    fp = docs.select(
+        "source", text.fingerprint_md5(F.col("text")).alias("_fp")
+    )
+    return (
+        fp.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("_fp").alias("n_distinct_fp"),
+        )
+        .orderBy("source")
+    )
+
+
+Q13_SQL = r"""
+SELECT source, COUNT(*) AS n_docs,
+       COUNT(DISTINCT md5(TRIM(regexp_replace(LOWER(text), '\s+', ' ', 'g')))) AS n_distinct_fp
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# q14 — quantized ANN top-k (bit-exact cross-engine)
+# ---------------------------------------------------------------------------
+
+
+def q14_topk_embeddings(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    out = similarity.quantized_topk(emb, queries, k=10)
+    return out.select(
+        "query_id", "vec_id", "qdot", F.col("rank").cast("int").alias("rank")
+    ).orderBy("query_id", "rank")
+
+
+Q14_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+s AS (
+  SELECT q.query_id, e.vec_id,
+         CAST(list_sum(list_transform(list_zip(e.embedding, q.qe),
+           x -> CAST(ROUND(CAST(x[1] AS DOUBLE) * 1000) AS BIGINT)
+              * CAST(ROUND(CAST(x[2] AS DOUBLE) * 1000) AS BIGINT))) AS BIGINT) AS qdot
+  FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+r AS (SELECT query_id, vec_id, qdot,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY qdot DESC, vec_id) AS INTEGER) AS rank
+      FROM s)
+SELECT query_id, vec_id, qdot, rank FROM r WHERE rank <= 10
+ORDER BY query_id, rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# q15 — windowed event counts (streaming-analog on batch)
+# ---------------------------------------------------------------------------
+
+
+def q15_windowed_events(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "n_users",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+Q15_SQL = """
+SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# q16 — sessionization (gap > 30 min)
+# ---------------------------------------------------------------------------
+
+
+def q16_sessions(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # parquet ts is TIMESTAMP_NTZ; session TZ pinned UTC so the cast is exact
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = us - F.lag(us).over(w)
+    marked = ev.select(
+        "user_id",
+        F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0).alias("_new"),
+    )
+    return (
+        marked.groupBy("user_id")
+        .agg(F.sum("_new").alias("n_sessions"), F.count(F.lit(1)).alias("n_events"))
+        .orderBy("user_id")
+    )
+
+
+Q16_SQL = """
+WITH g AS (
+  SELECT user_id,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id) > 1800 * 1000000
+              OR LAG(epoch_us(ts)) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events)
+SELECT user_id, SUM(new_session) AS n_sessions, COUNT(*) AS n_events
+FROM g GROUP BY user_id ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# q17 — top-k per group (window row_number)
+# ---------------------------------------------------------------------------
+
+
+def q17_top_users(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    w = W.partitionBy("event_type").orderBy(F.desc("n_events"), F.col("user_id"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 3)
+        .orderBy("event_type", "rank")
+    )
+
+
+Q17_SQL = """
+WITH c AS (SELECT event_type, user_id, COUNT(*) AS n_events
+           FROM events GROUP BY 1, 2),
+r AS (SELECT event_type, user_id, n_events,
+             CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                  ORDER BY n_events DESC, user_id) AS INTEGER) AS rank
+      FROM c)
+SELECT event_type, user_id, n_events, rank FROM r WHERE rank <= 3
+ORDER BY event_type, rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# q18 — per-row invariant: n_chars == length(text) (token-array analog)
+# ---------------------------------------------------------------------------
+
+
+def q18_invariant_nchars(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.length("text") != F.col("n_chars")).cast("long")).alias(
+                "n_invariant_violations"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+Q18_SQL = """
+SELECT lang, COUNT(*) AS n_docs,
+       SUM(CASE WHEN LENGTH(text) <> n_chars THEN 1 ELSE 0 END) AS n_invariant_violations
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# Rows-only queries (non-SQL-expressible; driver records row counts)
+# ---------------------------------------------------------------------------
+
+
+def _docs_with_planted_dups(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    seed = docs.where(F.col("doc_id") < 10)
+    exact = seed.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    near = seed.withColumn("doc_id", F.col("doc_id") + 2_000_000).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" appended tail marker"))
+    )
+    return docs.unionByName(exact).unionByName(near)
+
+
+def q19_minhash_near_dups(spark, sf_dir):
+    d = _docs_with_planted_dups(spark, sf_dir)
+    out = dedup.minhash_near_dups(d, threshold=0.5, n_hashes=32, bands=16)
+    return out.select(
+        "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
+    ).orderBy("id_a", "id_b")
+
+
+def q20_simhash_near_dups(spark, sf_dir):
+    d = _docs_with_planted_dups(spark, sf_dir)
+    return dedup.simhash_near_dups(d, max_hamming=3).orderBy("id_a", "id_b")
+
+
+def q21_lsh_ann(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(0.001)).alias("embedding"),
+    )
+    dim = 64
+    out = similarity.lsh_topk(emb, queries, dim=dim, k=5, n_planes=8, n_tables=8)
+    return out.select(
+        "query_id", "vec_id", F.round("score", 4).alias("score"), "rank"
+    ).orderBy("query_id", "rank")
+
+
+def q22_multimodal_features(spark, sf_dir):
+    assets = multimodal.synth_assets(spark, 64)
+    return multimodal.extract_features(assets).select(
+        "doc_id", "byte_len", "sha1"
+    ).orderBy("doc_id")
+
+
+def q23_exact_dedup_rows(spark, sf_dir):
+    d = _docs_with_planted_dups(spark, sf_dir)
+    return dedup.exact_dup_groups(d).select(
+        "fingerprint", "n_dups", F.array_join("doc_ids", ",").alias("doc_ids")
+    ).orderBy("fingerprint")
+
+
+Q23_SQL = r"""
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 10
+  UNION ALL SELECT doc_id + 2000000, text || ' appended tail marker'
+  FROM documents WHERE doc_id < 10),
+fp AS (SELECT md5(TRIM(regexp_replace(LOWER(text), '\s+', ' ', 'g'))) AS fingerprint,
+              doc_id FROM aug)
+SELECT fingerprint, COUNT(*) AS n_dups,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids
+FROM fp GROUP BY fingerprint HAVING COUNT(*) > 1
+ORDER BY fingerprint
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "q01_pricing_summary": q01_pricing_summary,
+    "q02_profile_lineitem": q02_profile_lineitem,
+    "q03_null_rates_documents": q03_null_rates_documents,
+    "q04_dup_keys_lineitem": q04_dup_keys_lineitem,
+    "q05_unique_violations": q05_unique_violations,
+    "q06_referential_missing": q06_referential_missing,
+    "q07_check_orders_fused": q07_check_orders_fused,
+    "q08_histogram_nchars": q08_histogram_nchars,
+    "q09_drift_psi_nchars": q09_drift_psi_nchars,
+    "q10_token_counts": q10_token_counts,
+    "q11_langid": q11_langid,
+    "q12_quality": q12_quality,
+    "q13_fingerprints": q13_fingerprints,
+    "q14_topk_embeddings": q14_topk_embeddings,
+    "q15_windowed_events": q15_windowed_events,
+    "q16_sessions": q16_sessions,
+    "q17_top_users": q17_top_users,
+    "q18_invariant_nchars": q18_invariant_nchars,
+    "q19_minhash_near_dups": q19_minhash_near_dups,
+    "q20_simhash_near_dups": q20_simhash_near_dups,
+    "q21_lsh_ann": q21_lsh_ann,
+    "q22_multimodal_features": q22_multimodal_features,
+    "q23_exact_dedup_rows": q23_exact_dedup_rows,
+}
+
+ORACLES = {
+    "q01_pricing_summary": Q01_SQL,
+    "q02_profile_lineitem": Q02_SQL,
+    "q03_null_rates_documents": Q03_SQL,
+    "q04_dup_keys_lineitem": Q04_SQL,
+    "q05_unique_violations": Q05_SQL,
+    "q06_referential_missing": Q06_SQL,
+    "q07_check_orders_fused": Q07_SQL,
+    "q08_histogram_nchars": Q08_SQL,
+    "q09_drift_psi_nchars": Q09_SQL,
+    "q10_token_counts": Q10_SQL,
+    "q11_langid": Q11_SQL,
+    "q12_quality": Q12_SQL,
+    "q13_fingerprints": Q13_SQL,
+    "q14_topk_embeddings": Q14_SQL,
+    "q15_windowed_events": Q15_SQL,
+    "q16_sessions": Q16_SQL,
+    "q17_top_users": Q17_SQL,
+    "q18_invariant_nchars": Q18_SQL,
+    "q23_exact_dedup_rows": Q23_SQL,
+    # q19-q22: non-SQL-expressible (MinHash/SimHash/LSH/mapInPandas) —
+    # rows-only checks by design.
+}

@@ -1,0 +1,69 @@
+"""Driver-contract queries vs DuckDB oracles at sf0.001 (fast tier).
+
+Mirrors the driver's correctness gate exactly: row count + column names
++ order-insensitive values for every oracle-matched query.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from check_datapackage_spark.queries import ORACLES, QUERIES
+from check_datapackage_spark.sources.registry import TABLES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con
+
+
+def _norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v + 0.0, 9)
+    return v
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle(spark, ddb, name):
+    sdf = QUERIES[name](spark, SF_DIR)
+    srows = [row.asDict() for row in sdf.collect()]
+    scols = sdf.columns
+    res = ddb.sql(ORACLES[name])
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+    assert sorted(scols) == sorted(dcols)
+    assert len(srows) == len(drows)
+    order = sorted(scols)
+    sset = sorted(tuple(_norm(r[c]) for c in order) for r in srows)
+    dset = sorted(
+        tuple(_norm(dict(zip(dcols, r))[c]) for c in order) for r in drows
+    )
+    assert sset == dset
+
+
+@pytest.mark.parametrize(
+    "name", sorted(set(QUERIES) - set(ORACLES))
+)
+def test_rows_only_queries_deterministic(spark, name):
+    a = [tuple(r) for r in QUERIES[name](spark, SF_DIR).collect()]
+    b = [tuple(r) for r in QUERIES[name](spark, SF_DIR).collect()]
+    assert len(a) > 0
+    assert sorted(map(repr, a)) == sorted(map(repr, b))
+
+
+def test_entry_contract(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() >= 0
+    assert set(e.oracle_sql()) <= set(e.queries())
