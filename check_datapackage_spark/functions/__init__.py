@@ -124,8 +124,8 @@ def geopoint_array_ok(col: Column) -> Column:
     """Geopoint (array format): [lon, lat] with range checks."""
     return col.isNull() | (
         (F.size(col) == 2)
-        & (F.element_at(col, 1).between(-180.0, 180.0))
-        & (F.element_at(col, 2).between(-90.0, 90.0))
+        & F.try_element_at(col, F.lit(1)).between(-180.0, 180.0)
+        & F.try_element_at(col, F.lit(2)).between(-90.0, 90.0)
     )
 
 

@@ -36,9 +36,10 @@ def missing_keys(
     """
     dim_keys = list(dim_keys or fact_keys)
     fact_keys = list(fact_keys)
-    keyed = dim.select(
-        *[F.col(d).alias(f) for f, d in zip(fact_keys, dim_keys)]
-    ).dropDuplicates(fact_keys)
+    # no dropDuplicates: anti-join semantics ignore duplicate build keys,
+    # and the distinct would add the plan's only shuffle (the broadcast
+    # HashedRelation dedups keys for free)
+    keyed = dim.select(*[F.col(d).alias(f) for f, d in zip(fact_keys, dim_keys)])
     if broadcast:
         keyed = F.broadcast(keyed)
     non_null = fact

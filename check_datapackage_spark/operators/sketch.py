@@ -1,0 +1,136 @@
+"""Mergeable quantile sketches — t-digest via Arrow-batched pandas
+(SURVEY §7 step 5).
+
+``percentile_approx`` (QuantileSummaries) is the built-in scale path;
+this module adds a t-digest for the BASELINE's "quantiles via t-digest
+sketches" requirement: per-partition digests built in ``mapInPandas``
+(one pass, O(δ) state), merged on the driver (merge cost O(partitions·δ),
+never O(rows)).
+
+Determinism (SURVEY §7 hard-part 3): centroids are built by scanning
+values in sorted order with a fixed size bound per centroid — no RNG,
+no order sensitivity after the per-partition sort; the driver merge
+re-sorts all centroids before compressing, so results are independent
+of partition arrival order.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _compress(means: np.ndarray, weights: np.ndarray, delta: int) -> tuple[np.ndarray, np.ndarray]:
+    """Greedy size-bounded compression of weighted points (sorted by
+    mean) into ≤ delta centroids with the t-digest size function
+    (small near the tails, large in the middle)."""
+    order = np.argsort(means, kind="stable")
+    means, weights = means[order], weights[order]
+    total = weights.sum()
+    if total == 0:
+        return np.array([]), np.array([])
+    out_m: list[float] = []
+    out_w: list[float] = []
+    q0 = 0.0
+    cur_m, cur_w = means[0], weights[0]
+    for m, w in zip(means[1:], weights[1:]):
+        q = q0 + (cur_w + w / 2) / total
+        # scale function k1: centroid capacity ~ 4·total·q(1-q)/delta
+        cap = max(1.0, 4.0 * total * q * (1.0 - q) / delta)
+        if cur_w + w <= cap:
+            cur_m = (cur_m * cur_w + m * w) / (cur_w + w)
+            cur_w += w
+        else:
+            out_m.append(cur_m)
+            out_w.append(cur_w)
+            q0 += cur_w / total
+            cur_m, cur_w = m, w
+    out_m.append(cur_m)
+    out_w.append(cur_w)
+    return np.asarray(out_m), np.asarray(out_w)
+
+
+def partition_digests(df: DataFrame, column: str, delta: int = 200) -> DataFrame:
+    """One t-digest per input partition: rows (mean, weight).
+
+    mapInPandas keeps Arrow batches bounded; each task emits ≤ delta
+    rows regardless of partition size — the shuffle-free equivalent of
+    a partial aggregate.
+    """
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ms: list[np.ndarray] = []
+        ws: list[np.ndarray] = []
+        for pdf in batches:
+            v = pdf[column].dropna().to_numpy(dtype=np.float64)
+            if len(v):
+                ms.append(v)
+                ws.append(np.ones(len(v)))
+        if not ms:
+            yield pd.DataFrame({"mean": [], "weight": []})
+            return
+        m, w = _compress(np.concatenate(ms), np.concatenate(ws), delta)
+        yield pd.DataFrame({"mean": m, "weight": w})
+
+    return df.select(column).mapInPandas(build, schema="mean double, weight double")
+
+
+def tdigest_quantiles(
+    df: DataFrame,
+    column: str,
+    quantiles: Sequence[float] = (0.25, 0.5, 0.75),
+    delta: int = 200,
+) -> dict[float, float]:
+    """Quantiles from merged per-partition t-digests.
+
+    Driver collects only centroids (≤ partitions × delta rows).
+    """
+    cent = partition_digests(df, column, delta).collect()
+    if not cent:
+        return {q: float("nan") for q in quantiles}
+    means = np.array([r["mean"] for r in cent])
+    weights = np.array([r["weight"] for r in cent])
+    m, w = _compress(means, weights, delta)
+    if len(m) == 0:
+        return {q: float("nan") for q in quantiles}
+    cum = np.cumsum(w) - w / 2
+    total = w.sum()
+    out = {}
+    for q in quantiles:
+        out[q] = float(np.interp(q * total, cum, m))
+    return out
+
+
+def tdigest_by_group(
+    df: DataFrame,
+    column: str,
+    by: str,
+    quantiles: Sequence[float] = (0.5,),
+    delta: int = 200,
+) -> DataFrame:
+    """Per-group t-digest quantiles, fully distributed.
+
+    applyInPandas per group (each group's digest built in one pass);
+    output (group, q, value) stays a DataFrame — no driver collect.
+    For very hot groups, pre-aggregate with partition_digests per
+    (group, salt) and merge — not needed while |group| fits a task.
+    """
+    qs = list(quantiles)
+
+    def per_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf[column].dropna().to_numpy(dtype=np.float64)
+        if len(v) == 0:
+            return pd.DataFrame({by: [], "q": [], "value": []})
+        m, w = _compress(v, np.ones(len(v)), delta)
+        cum = np.cumsum(w) - w / 2
+        total = w.sum()
+        vals = [float(np.interp(q * total, cum, m)) for q in qs]
+        return pd.DataFrame({by: [key[0]] * len(qs), "q": qs, "value": vals})
+
+    return df.select(by, column).groupBy(by).applyInPandas(
+        per_group, schema=f"{by} string, q double, value double"
+    )

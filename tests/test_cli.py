@@ -1,0 +1,66 @@
+"""CLI entrypoint test (ref tests/test_cli.py pattern: invoke the real
+command path with a config, assert outcome + exit code)."""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+import os
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_cli(*args: str) -> subprocess.CompletedProcess:
+    return subprocess.run(
+        [sys.executable, "-m", "check_datapackage_spark.cli", *args],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+        timeout=300,
+        env={**os.environ, "PYTHONPATH": REPO},
+    )
+
+
+def test_cli_end_to_end(tmp_path):
+    spec = {
+        "resources": [
+            {
+                "name": "orders",
+                "schema": {
+                    "fields": [
+                        {"name": "o_orderkey", "type": "integer", "constraints": {"required": True}},
+                        {"name": "o_orderstatus", "type": "string", "constraints": {"enum": ["F", "O"]}},
+                    ],
+                    "primaryKey": "o_orderkey",
+                },
+            }
+        ]
+    }
+    spec_path = tmp_path / "datapackage.json"
+    spec_path.write_text(json.dumps(spec))
+    audit = str(tmp_path / "violations")
+
+    p = run_cli(
+        "--data", "/root/testdata/sf0.001",
+        "--table", "orders",
+        "--spec", str(spec_path),
+        "--audit", audit,
+        "--error",
+        "--cores", "4",
+    )
+    assert p.returncode == 1, p.stdout + p.stderr  # 'P' status rows violate enum
+    assert "violation row(s) found" in p.stderr
+    assert os.path.isdir(audit)
+
+    # exclusion removes the only failing check → exit 0
+    p2 = run_cli(
+        "--data", "/root/testdata/sf0.001",
+        "--table", "orders",
+        "--spec", str(spec_path),
+        "--exclude-type", "enum",
+        "--error",
+        "--cores", "4",
+    )
+    assert p2.returncode == 0, p2.stdout + p2.stderr
+    assert "All checks passed!" in p2.stdout

@@ -1,0 +1,97 @@
+"""Physical-plan quality assertions (SURVEY §4): pushdown, pruning,
+broadcast, partial aggregation, single-scan fusion. These pin the
+100 TB-relevant properties — a correct result with a bad plan fails."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from check_datapackage_spark.operators import stats, uniqueness
+from check_datapackage_spark.queries import QUERIES
+from tests.conftest import load
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_profile_prunes_scan_to_checked_columns(spark, sf_dir):
+    """Stats over 2 columns must never read the other 9 (ReadSchema)."""
+    li = load(spark, sf_dir, "lineitem")
+    p = plan_of(stats.profile(li, ["l_quantity", "l_discount"]))
+    assert "l_quantity" in p
+    # ReadSchema should exclude wide unused columns
+    read_schema = [l for l in p.splitlines() if "ReadSchema" in l]
+    assert read_schema, p
+    assert "l_extendedprice" not in read_schema[0]
+    assert "l_shipdate" not in read_schema[0]
+
+
+def test_filter_pushed_to_parquet(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    q = li.where(F.col("l_shipdate") <= "1995-01-01").select("l_orderkey")
+    p = plan_of(q)
+    pushed = [l for l in p.splitlines() if "PushedFilters" in l]
+    assert pushed and "LessThanOrEqual(l_shipdate" in pushed[0], p
+
+
+def test_dup_keys_partial_aggregation(spark, sf_dir):
+    """C11 uniqueness must be a two-phase hash aggregate (partial before
+    the shuffle) so shuffle traffic is bounded by distinct keys."""
+    li = load(spark, sf_dir, "lineitem")
+    p = plan_of(uniqueness.dup_key_counts(li, ["l_orderkey"]))
+    assert p.count("HashAggregate") >= 2, p
+    assert "partial_count" in p or "partial" in p.lower(), p
+
+
+def test_summary_single_scan_single_shuffle(spark, sf_dir):
+    """The pass/fail summary is one scan + one light exchange."""
+    from check_datapackage_spark.compile import compile_table_checks
+    from check_datapackage_spark.plans.validation import summary_plan
+    from check_datapackage_spark.queries import ORDERS_SPEC
+
+    orders = load(spark, sf_dir, "orders")
+    checks = compile_table_checks(ORDERS_SPEC, schema=orders.schema)
+    p = plan_of(summary_plan(orders, checks))
+    assert p.count("Scan ") == 1, p
+    assert p.count("Exchange") <= 1, p
+
+
+def test_referential_no_shuffle_of_fact(spark, sf_dir):
+    """Broadcast anti-join: the fact side must not exchange."""
+    from check_datapackage_spark.operators import referential
+
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    p = plan_of(referential.missing_keys(li, orders, ["l_orderkey"], ["o_orderkey"]))
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
+    # only the dim side exchanges (broadcast); no shuffle exchange at all
+    assert "Exchange hashpartitioning" not in p, p
+
+
+def test_fused_violations_one_scan_all_queries(spark):
+    """entry()'s violations side must touch orders exactly once for the
+    row-level checks (uniqueness/referential add their own scans)."""
+    from check_datapackage_spark.compile import compile_table_checks
+    from check_datapackage_spark.plans.validation import violations_plan
+    from check_datapackage_spark.queries import ORDERS_SPEC
+
+    orders = load(spark, "/root/testdata/sf0.001", "orders")
+    checks = compile_table_checks(ORDERS_SPEC, schema=orders.schema)
+    p = plan_of(violations_plan(orders, checks, "orders", row_key="o_orderkey"))
+    assert p.count("Scan ") == 1, p
+
+
+def test_q01_aggregates_pushdown_and_wscg(spark, sf_dir):
+    """TPC-H Q1 shape: filter pushed, scan pruned, and (after execution,
+    when AQE finalizes) whole-stage codegen spans present."""
+    q = QUERIES["q01_pricing_summary"](spark, sf_dir)
+    q.collect()  # finalize the adaptive plan
+    p = plan_of(q)
+    pushed = [l for l in p.splitlines() if "PushedFilters" in l]
+    assert pushed and "l_shipdate" in pushed[0], p
+    read_schema = [l for l in p.splitlines() if "ReadSchema" in l][0]
+    assert "l_partkey" not in read_schema  # unused column pruned
+    assert "*(" in p, p  # whole-stage-codegen span markers
+    assert "partial_sum" in p, p  # map-side combine before the shuffle
