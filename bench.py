@@ -54,7 +54,9 @@ def run_suite(spark, sf_dir: str, names=HEADLINE) -> tuple[dict, dict, int]:
     total_rows = 0
     for name in names:
         t0 = time.perf_counter()
-        n = len(QUERIES[name](spark, sf_dir).collect())
+        # toPandas = Arrow-batched result transfer (collect() serializes
+        # row-by-row through py4j — 5-10x slower for 100k+ row results)
+        n = len(QUERIES[name](spark, sf_dir).toPandas())
         times[name] = round(time.perf_counter() - t0, 3)
         rows[name] = n
         total_rows += n

@@ -48,6 +48,8 @@ from .plans.validation import (
 )
 
 from .extensions import CustomCheck, ExtensionError, RequiredCheck, compile_extensions
+from .plans.nested import nested_violations
+from .spec import SpecTypeError
 
 __version__ = "0.1.0"
 

@@ -151,11 +151,28 @@ class ForeignKeySpec:
         )
 
 
+class SpecTypeError(ValueError):
+    """A spec property has the wrong JSON type (ref G5/G6 handlers,
+    check.py:786-875: '… must be a string or an array')."""
+
+
 def _as_str_tuple(v: Union[str, list, tuple]) -> tuple[str, ...]:
-    """String-or-list key normalization (ref check.py:390-400)."""
+    """String-or-list key normalization (ref check.py:390-400).
+
+    Wrong-typed input raises with the reference's G5/G6 message shape
+    (check.py:786-817 primaryKey, check.py:820-875 foreignKey fields).
+    """
     if isinstance(v, str):
         return (v,)
-    return tuple(v)
+    if isinstance(v, (list, tuple)):
+        bad = [x for x in v if not isinstance(x, str)]
+        if bad:
+            raise SpecTypeError(
+                "must be a string or an array of strings, "
+                f"got non-string elements: {bad!r}"
+            )
+        return tuple(v)
+    raise SpecTypeError(f"must be a string or an array, got {type(v).__name__}")
 
 
 @dataclass(frozen=True)
