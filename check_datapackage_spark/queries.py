@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from .operators import dedup, drift, multimodal, referential, similarity, stats, text, uniqueness
 from .operators.drift import bucket_sql
 from .plans.validation import violations_plan
-from .spec import TableSpec
+from .spec import CheckConfig, Exclusion, TableSpec
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -703,8 +703,167 @@ ORDER BY fingerprint
 
 
 # ---------------------------------------------------------------------------
-# registry
+# q24 — referential violation rows (full Issue contract, damaged dim)
 # ---------------------------------------------------------------------------
+
+
+def q24_referential_violations(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    orders_half = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") % 2 == 0)
+    v = referential.referential_violations(
+        li, orders_half, ["l_orderkey"], ["o_orderkey"], "lineitem", "orders"
+    )
+    # one row per missing fact row collapses under the Issue dedup key
+    # (jsonpath without a distinct row key) — emit distinct keys
+    return v.dropDuplicates(["jsonpath"]).orderBy("jsonpath")
+
+
+Q24_SQL = """
+SELECT DISTINCT
+       '$.lineitem[' || CAST(l_orderkey AS VARCHAR) || '].l_orderkey' AS jsonpath,
+       'foreign-key' AS type,
+       'value of `l_orderkey` not found in `orders`' AS message,
+       CAST(l_orderkey AS VARCHAR) AS instance,
+       'l_orderkey.foreign-key' AS "check",
+       'l_orderkey' AS "column",
+       CAST(l_orderkey AS VARCHAR) AS row_key,
+       CAST(NULL AS VARCHAR) AS partition
+FROM lineitem l
+WHERE l.l_orderkey IS NOT NULL AND NOT EXISTS (
+  SELECT 1 FROM orders o WHERE o.o_orderkey % 2 = 0 AND o.o_orderkey = l.l_orderkey)
+ORDER BY jsonpath
+"""
+
+
+# ---------------------------------------------------------------------------
+# q25 — exclusion filter over violation rows (U4 as a query)
+# ---------------------------------------------------------------------------
+
+
+def q25_excluded_violations(spark, sf_dir):
+    from .plans.validation import check_table
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    res = check_table(
+        orders,
+        ORDERS_SPEC,
+        config=CheckConfig(
+            exclusions=(Exclusion(jsonpath="$.orders[*].o_orderstatus", type="enum"),)
+        ),
+        dims={"customer": customer},
+    )
+    return res.violations.orderBy("jsonpath", "type")
+
+
+Q25_SQL = """
+SELECT '$.none' AS jsonpath, 'x' AS type, 'x' AS message,
+       CAST(NULL AS VARCHAR) AS instance, 'x' AS "check", 'x' AS "column",
+       CAST(NULL AS VARCHAR) AS row_key, CAST(NULL AS VARCHAR) AS partition
+WHERE FALSE
+"""
+
+
+# ---------------------------------------------------------------------------
+# q26 — salted (skew-proof) uniqueness: identical answer to q04
+# ---------------------------------------------------------------------------
+
+
+def q26_dup_keys_salted(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return uniqueness.dup_key_counts_salted(
+        li, ["l_orderkey", "l_linenumber"], n_buckets=32
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+Q26_SQL = Q04_SQL
+
+
+# ---------------------------------------------------------------------------
+# q27 — grouped exact quantiles (per-group profile)
+# ---------------------------------------------------------------------------
+
+
+def q27_group_quantiles(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.percentile(F.col("l_quantity"), F.lit(0.25)), 6).alias("q25"),
+            F.round(F.percentile(F.col("l_quantity"), F.lit(0.5)), 6).alias("q50"),
+            F.round(F.percentile(F.col("l_quantity"), F.lit(0.75)), 6).alias("q75"),
+            F.min("l_quantity").alias("min_qty"),
+            F.max("l_quantity").alias("max_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+Q27_SQL = """
+SELECT l_returnflag, COUNT(*) AS n,
+       ROUND(quantile_cont(l_quantity, 0.25), 6) AS q25,
+       ROUND(quantile_cont(l_quantity, 0.5), 6) AS q50,
+       ROUND(quantile_cont(l_quantity, 0.75), 6) AS q75,
+       MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# q28 — two-histogram divergence (KL/PSI/JS one-row)
+# ---------------------------------------------------------------------------
+
+
+def q28_divergence(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    a = drift.histogram(orders.where(F.col("o_orderstatus") == "F"), "o_totalprice", 0.0, 500000.0, 20)
+    b = drift.histogram(orders.where(F.col("o_orderstatus") == "O"), "o_totalprice", 0.0, 500000.0, 20)
+    d = drift.divergence(a, b)
+    return d.select(
+        F.round("kl", 4).alias("kl"),
+        F.round("psi", 4).alias("psi"),
+        F.round("js", 4).alias("js"),
+    )
+
+
+Q28_SQL = f"""
+WITH a AS (
+  SELECT {bucket_sql('o_totalprice', 0.0, 500000.0, 20)} AS bucket, COUNT(*) AS c
+  FROM orders WHERE o_orderstatus = 'F' AND o_totalprice IS NOT NULL GROUP BY 1),
+b AS (
+  SELECT {bucket_sql('o_totalprice', 0.0, 500000.0, 20)} AS bucket, COUNT(*) AS c
+  FROM orders WHERE o_orderstatus = 'O' AND o_totalprice IS NOT NULL GROUP BY 1),
+an AS (SELECT bucket, CAST(c AS DOUBLE) / (SELECT SUM(c) FROM a) AS p FROM a),
+bn AS (SELECT bucket, CAST(c AS DOUBLE) / (SELECT SUM(c) FROM b) AS p FROM b),
+j AS (
+  SELECT COALESCE(an.p, 1e-9) AS pa, COALESCE(bn.p, 1e-9) AS pb,
+         (COALESCE(an.p, 1e-9) + COALESCE(bn.p, 1e-9)) / 2 AS pm
+  FROM an FULL OUTER JOIN bn USING (bucket))
+SELECT ROUND(SUM(pa * LN(pa / pb)), 4) AS kl,
+       ROUND(SUM((pa - pb) * LN(pa / pb)), 4) AS psi,
+       ROUND(SUM(pa * LN(pa / pm)) / 2 + SUM(pb * LN(pb / pm)) / 2, 4) AS js
+FROM j
+"""
+
+
+# ---------------------------------------------------------------------------
+# q29 — embedding cosine near-dup (rows-only; planted pairs)
+# ---------------------------------------------------------------------------
+
+
+def q29_embedding_near_dups(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    planted = emb.where(F.col("vec_id") < 8).select(
+        (F.col("vec_id") + 700000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.0001)).alias("embedding"),
+        "label",
+    )
+    aug = emb.unionByName(planted)
+    out = similarity.cosine_near_dups(aug, dim=64, threshold=0.999, n_planes=12)
+    return out.select(
+        "id_a", "id_b", F.round("score", 4).alias("score")
+    ).orderBy("id_a", "id_b")
 
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
@@ -730,6 +889,12 @@ QUERIES = {
     "q21_lsh_ann": q21_lsh_ann,
     "q22_multimodal_features": q22_multimodal_features,
     "q23_exact_dedup_rows": q23_exact_dedup_rows,
+    "q24_referential_violations": q24_referential_violations,
+    "q25_excluded_violations": q25_excluded_violations,
+    "q26_dup_keys_salted": q26_dup_keys_salted,
+    "q27_group_quantiles": q27_group_quantiles,
+    "q28_divergence": q28_divergence,
+    "q29_embedding_near_dups": q29_embedding_near_dups,
 }
 
 ORACLES = {
@@ -752,6 +917,11 @@ ORACLES = {
     "q17_top_users": Q17_SQL,
     "q18_invariant_nchars": Q18_SQL,
     "q23_exact_dedup_rows": Q23_SQL,
+    "q24_referential_violations": Q24_SQL,
+    "q25_excluded_violations": Q25_SQL,
+    "q26_dup_keys_salted": Q26_SQL,
+    "q27_group_quantiles": Q27_SQL,
+    "q28_divergence": Q28_SQL,
     # q19-q22: non-SQL-expressible (MinHash/SimHash/LSH/mapInPandas) —
     # rows-only checks by design.
 }
