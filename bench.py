@@ -20,32 +20,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from check_datapackage_spark.queries import QUERIES
 from check_datapackage_spark.session import get_spark
 
-#: queries timed by the benchmark (all SURVEY §2 operator families).
-HEADLINE = [
-    "q01_pricing_summary",
-    "q02_profile_lineitem",
-    "q03_null_rates_documents",
-    "q04_dup_keys_lineitem",
-    "q05_unique_violations",
-    "q06_referential_missing",
-    "q07_check_orders_fused",
-    "q08_histogram_nchars",
-    "q09_drift_psi_nchars",
-    "q10_token_counts",
-    "q11_langid",
-    "q12_quality",
-    "q13_fingerprints",
-    "q14_topk_embeddings",
-    "q15_windowed_events",
-    "q16_sessions",
-    "q17_top_users",
-    "q18_invariant_nchars",
-    "q19_minhash_near_dups",
-    "q20_simhash_near_dups",
-    "q21_lsh_ann",
-    "q22_multimodal_features",
-    "q23_exact_dedup_rows",
-]
+#: queries timed by the benchmark — every registered operator query.
+HEADLINE = sorted(QUERIES)
 
 
 def run_suite(spark, sf_dir: str, names=HEADLINE) -> tuple[dict, dict, int]:
@@ -80,7 +56,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "validation suite wall-clock (23 operator queries)",
+                "metric": f"validation suite wall-clock ({len(HEADLINE)} operator queries)",
                 "value": total,
                 "unit": "sec",
                 "queries": times,

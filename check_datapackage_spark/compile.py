@@ -15,7 +15,7 @@ matching the reference's ``Issue.type`` contract (e.g. ``required``,
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Callable, Optional
+from typing import Callable, Optional, Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -202,6 +202,28 @@ def compile_invariant(
         message=message,
         ok=ok,
         instance=(instance if instance is not None else F.lit(None)).cast("string"),
+    )
+
+
+def compile_any_of_required(
+    columns: Sequence[str], table_name: str = ""
+) -> CompiledCheck:
+    """anyOf-required: at least one of ``columns`` must be non-null —
+    the reference's licenses ``anyOf(name, path)`` rule lifted to
+    columns (ref _handle_licenses check.py:878-898; message shape
+    'must have at least one of: `name`, `path`')."""
+    cols = list(columns)
+    ok = F.lit(False)
+    for c in cols:
+        ok = ok | F.col(c).isNotNull()
+    pretty = ", ".join(f"`{c}`" for c in cols)
+    return CompiledCheck(
+        name=f"{'|'.join(cols)}.anyOf",
+        column=None,
+        issue_type="anyOf",
+        message=f"must have at least one of: {pretty}",
+        ok=ok,
+        instance=F.lit(None).cast("string"),
     )
 
 

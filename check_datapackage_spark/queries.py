@@ -865,6 +865,39 @@ def q29_embedding_near_dups(spark, sf_dir):
         "id_a", "id_b", F.round("score", 4).alias("score")
     ).orderBy("id_a", "id_b")
 
+def q30_json_props(spark, sf_dir):
+    """P1 analog on data: JSONPath select over a JSON string column +
+    C2 'object' validity — get_json_object / try_parse_json."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.select(
+            "event_type",
+            k.alias("_k"),
+            F.try_parse_json(F.col("props")).isNotNull().alias("_valid"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("_valid").cast("long")).alias("n_valid_json"),
+            F.sum("_k").alias("sum_k"),
+            F.min("_k").alias("min_k"),
+            F.max("_k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q30_SQL = """
+SELECT event_type, COUNT(*) AS n,
+       SUM(CASE WHEN json_valid(props) THEN 1 ELSE 0 END) AS n_valid_json,
+       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_profile_lineitem": q02_profile_lineitem,
@@ -895,6 +928,7 @@ QUERIES = {
     "q27_group_quantiles": q27_group_quantiles,
     "q28_divergence": q28_divergence,
     "q29_embedding_near_dups": q29_embedding_near_dups,
+    "q30_json_props": q30_json_props,
 }
 
 ORACLES = {
@@ -922,6 +956,7 @@ ORACLES = {
     "q26_dup_keys_salted": Q26_SQL,
     "q27_group_quantiles": Q27_SQL,
     "q28_divergence": Q28_SQL,
+    "q30_json_props": Q30_SQL,
     # q19-q22: non-SQL-expressible (MinHash/SimHash/LSH/mapInPandas) —
     # rows-only checks by design.
 }

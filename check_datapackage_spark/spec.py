@@ -219,6 +219,26 @@ class TableSpec:
         return None
 
 
+def is_jsonpath(path: str) -> bool:
+    """Syntactic jsonpath validation (ref ``_is_jsonpath``,
+    internals.py:49-67): must start with ``$``, balanced brackets, and
+    the ``&`` intersection operator is rejected (the reference bans it
+    at config-build time)."""
+    if not isinstance(path, str) or not path.startswith("$"):
+        return False
+    if "&" in path:
+        return False
+    depth = 0
+    for ch in path:
+        if ch == "[":
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+            if depth < 0:
+                return False
+    return depth == 0
+
+
 @dataclass(frozen=True)
 class Exclusion:
     """Issue-exclusion filter (ref exclusion.py:11-47).
@@ -226,11 +246,16 @@ class Exclusion:
     Within one exclusion: AND of the set fields; across exclusions: OR.
     An empty exclusion matches nothing (ref exclusion.py:50-78).
     ``jsonpath`` supports ``*`` wildcards like the reference's
-    wildcard-path matching (exclusion.py:81-84).
+    wildcard-path matching (exclusion.py:81-84); syntax is validated at
+    construction (P4, ref internals.py:49-70 pydantic Annotated type).
     """
 
     jsonpath: Optional[str] = None
     type: Optional[str] = None
+
+    def __post_init__(self) -> None:
+        if self.jsonpath is not None and not is_jsonpath(self.jsonpath):
+            raise SpecTypeError(f"invalid jsonpath: {self.jsonpath!r}")
 
     def is_empty(self) -> bool:
         return self.jsonpath is None and self.type is None
