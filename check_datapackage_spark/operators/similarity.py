@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
@@ -146,6 +147,34 @@ def hyperplane_sketch(vec: Column, dim: int, n_planes: int = 16, seed: int = 0) 
     return out
 
 
+def multitable_sketch_udf(dim: int, n_planes: int, n_tables: int):
+    """All tables' hyperplane sketches in ONE Arrow-batched matmul.
+
+    Catalyst higher-order functions evaluate interpreted (outside
+    whole-stage codegen); n_tables × n_planes aggregate(zip_with(...))
+    expressions cost ~ms/row. A (batch×dim) @ (dim×(tables·planes))
+    numpy matmul is ~100× faster and the plane matrix is derived from a
+    seeded Philox generator — deterministic across runs/executors.
+    Returns array<long> of per-table buckets (offset-disjoint).
+    """
+    import numpy as np
+    from pyspark.sql import types as T
+
+    rng = np.random.default_rng(20260816)
+    planes = rng.standard_normal((dim, n_tables * n_planes))
+    pow2 = (1 << np.arange(n_planes)).astype(np.int64)
+    offsets = (np.arange(n_tables).astype(np.int64) * (1 << n_planes))
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def sketch(vecs: pd.Series) -> pd.Series:
+        m = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
+        signs = (m @ planes) > 0
+        b = signs.reshape(len(m), n_tables, n_planes) @ pow2 + offsets
+        return pd.Series(list(b))
+
+    return sketch
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -157,34 +186,23 @@ def lsh_topk(
     n_tables: int = 4,
 ) -> DataFrame:
     """Approximate top-k: score only corpus rows sharing an LSH bucket
-    with the query in ANY of ``n_tables`` sketches (seeded by offsetting
-    the plane index). Recall tunes with n_tables/n_planes.
+    with the query in ANY of ``n_tables`` independent tables.
+    Recall tunes with n_tables/n_planes.
 
     Output: (query_id, vec_id, score, rank) — rank within candidates.
     """
-    def sketches(df, idname):
-        cols = [F.col(idname), F.col(vec_col)]
-        out = df.select(*cols)
-        for t in range(n_tables):
-            # independent planes per table (seed=t); the additive offset
-            # keeps table bucket namespaces disjoint in one join column
-            planes = hyperplane_sketch(F.col(vec_col), dim, n_planes, seed=t)
-            out = out.withColumn(f"_b{t}", planes + F.lit(t * (1 << n_planes)))
-        return out
+    sketch = multitable_sketch_udf(dim, n_planes, n_tables)
 
-    c = sketches(corpus, id_col)
-    q = sketches(queries.select(F.col(id_col).alias("query_id"), vec_col), "query_id")
-
-    # unpivot buckets → (id, bucket)
     def unpivot(df, idname):
-        arr = F.array(*[F.col(f"_b{t}") for t in range(n_tables)])
         return df.select(
-            idname, vec_col, F.explode(arr).alias("bucket")
+            idname, vec_col, F.explode(sketch(F.col(vec_col))).alias("bucket")
         )
 
-    cu = unpivot(c, id_col)
+    cu = unpivot(corpus, id_col)
     qu = F.broadcast(
-        unpivot(q, "query_id").withColumnRenamed(vec_col, "_qvec")
+        unpivot(
+            queries.select(F.col(id_col).alias("query_id"), vec_col), "query_id"
+        ).withColumnRenamed(vec_col, "_qvec")
     )
     cands = (
         cu.join(qu, "bucket")
