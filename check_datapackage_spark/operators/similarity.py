@@ -218,6 +218,72 @@ def lsh_topk(
     return cands.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def _ivf_assign_udf(dim: int, n_cells: int, n_probe: int = 1):
+    """Coarse quantizer: assign each vector to its top-``n_probe``
+    cells by dot product against a deterministic centroid matrix
+    (seeded Philox, normalized). Returns array<int> of cell ids."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    rng = np.random.default_rng(20260817)
+    cents = rng.standard_normal((dim, n_cells))
+    cents /= np.linalg.norm(cents, axis=0, keepdims=True)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def assign(vecs: pd.Series) -> pd.Series:
+        m = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
+        scores = m @ cents
+        top = np.argsort(-scores, axis=1)[:, :n_probe].astype(np.int32)
+        return pd.Series(list(top))
+
+    return assign
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 64,
+    n_probe: int = 8,
+) -> DataFrame:
+    """IVF-Flat approximate top-k (the scale path beside LSH).
+
+    Corpus vectors are assigned to ONE inverted cell (their nearest
+    deterministic centroid); queries probe their ``n_probe`` nearest
+    cells; exact cosine runs only inside probed cells. At 10^12 vectors
+    the corpus is written bucketed by cell so a query touches
+    n_probe/n_cells of the data — here the cell id is a join key and
+    Catalyst/AQE handle cell-size skew.
+
+    Output: (query_id, vec_id, score, rank).
+    """
+    assign1 = _ivf_assign_udf(dim, n_cells, 1)
+    assignp = _ivf_assign_udf(dim, n_cells, n_probe)
+    c = corpus.select(
+        F.col(id_col), F.col(vec_col), F.element_at(assign1(F.col(vec_col)), 1).alias("cell")
+    )
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("_qvec"),
+            F.explode(assignp(F.col(vec_col))).alias("cell"),
+        )
+    )
+    cands = (
+        c.join(q, "cell")
+        .where(F.col("query_id") != F.col(id_col))
+        .select(
+            "query_id", id_col, cosine(F.col(vec_col), F.col("_qvec")).alias("score")
+        )
+        .dropDuplicates(["query_id", id_col])
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.col(id_col))
+    return cands.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
 def cosine_near_dups(
     df: DataFrame,
     dim: int,

@@ -1,0 +1,105 @@
+"""foreachBatch validation, windowed stream counts, IVF ANN, rolling
+fingerprints — the remaining untested paths."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from check_datapackage_spark.fixtures import (
+    allowed_sources_df,
+    sequences_spec,
+    sequences_with_violations,
+)
+from check_datapackage_spark.operators import similarity, text
+from tests.conftest import load
+
+
+def test_foreach_batch_validator(spark, tmp_path):
+    from check_datapackage_spark.streaming.checks import foreach_batch_validator
+
+    src = str(tmp_path / "in")
+    df, _ = sequences_with_violations(spark, 200)
+    df.drop("_row").write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+
+    seen: list[tuple[int, int]] = []
+
+    def sink(violations, epoch_id):
+        seen.append((epoch_id, violations.count()))
+
+    fb = foreach_batch_validator(
+        sequences_spec(),
+        dims={"allowed_sources": allowed_sources_df(spark)},
+        sink=sink,
+    )
+    q = stream.writeStream.foreachBatch(fb).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # spec-only checks (no token invariants passed): 2 required +
+    # 1 pattern + 1 minimum + 1 maximum + 1 unique + 1 foreign-key
+    assert seen and sum(n for _, n in seen) == 7
+
+
+def test_windowed_violation_counts(spark, tmp_path):
+    from check_datapackage_spark.compile import compile_invariant
+    from check_datapackage_spark.streaming.checks import windowed_violation_counts
+
+    src = str(tmp_path / "ev")
+    ev = load(spark, "/root/testdata/sf0.001", "events")
+    ev.write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    checks = [
+        compile_invariant(
+            "value.nonneg",
+            F.col("value") >= 0,
+            "minimum",
+            "value must be >= 0",
+            column="value",
+        )
+    ]
+    agg = windowed_violation_counts(
+        stream, checks, ts_col="ts", window="6 hours", watermark="1 hour"
+    )
+    q = agg.writeStream.format("memory").queryName("wvc").outputMode("append").start()
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM wvc").collect()
+    finally:
+        q.stop()
+    # append mode emits only watermark-closed windows; the fixture spans
+    # 30 days so all but the last close
+    assert len(rows) >= 100
+    assert all(r["check"] == "value.nonneg" for r in rows)
+
+
+def test_ivf_topk_finds_planted(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 3).select(
+        (F.col("vec_id") + 5000).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(0.0005)).alias("embedding"),
+        "label",
+    )
+    out = similarity.ivf_topk(emb, queries, dim=64, k=5, n_cells=16, n_probe=4).collect()
+    top1 = {(r["query_id"], r["vec_id"]) for r in out if r["rank"] == 1}
+    assert top1 == {(5000, 0), (5001, 1), (5002, 2)}
+
+
+def test_rolling_fingerprints(spark):
+    df = spark.createDataFrame(
+        [
+            ("one two three four five six seven eight nine ten",),
+            ("one two three four five six seven eight nine ten",),
+            ("completely different words in this document here now",),
+        ],
+        ["text"],
+    )
+    fps = df.select(text.rolling_fingerprints(F.col("text"), window=4, step=2).alias("fp"))
+    rows = [r["fp"] for r in fps.collect()]
+    assert rows[0] == rows[1]  # identical docs → identical fingerprints
+    assert set(rows[0]).isdisjoint(set(rows[2]))
+    assert len(rows[0]) >= 2
