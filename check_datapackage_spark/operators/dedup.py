@@ -104,9 +104,18 @@ def minhash_signatures(
     ex = df.select(
         F.col(id_col).alias("_id"),
         F.explode(shingles(F.col(text_col), k_shingle)).alias("_sh"),
+    ).select(
+        "_id",
+        # hash the shingle STRING once; derive the seed family by
+        # universal hashing over the 8-byte value (a_i*h + b_i, wrapping
+        # int64) — 32 string hashes per shingle would cost 32x the bytes
+        F.xxhash64("_sh").alias("_h"),
     )
+    # (integer multiply-mix would be cheaper still but ANSI mode rejects
+    # wrapping overflow; hashing 8 bytes per seed is already ~6x less
+    # data than re-hashing the shingle text per seed)
     aggs = [
-        F.min(F.xxhash64("_sh", F.lit(i))).alias(f"_h{i}") for i in range(n_hashes)
+        F.min(F.xxhash64("_h", F.lit(i))).alias(f"_h{i}") for i in range(n_hashes)
     ]
     return ex.groupBy("_id").agg(*aggs)
 
