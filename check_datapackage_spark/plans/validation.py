@@ -152,16 +152,54 @@ def summary_plan(
 # ---------------------------------------------------------------------------
 
 
+#: one path segment: ``.name`` or ``[key]``
+_ANY_SEGMENT = r"(?:\.[^.\[\]]+|\[[^\]]+\])"
+
+
 def _wildcard_to_regex(path: str) -> str:
-    """Reference wildcard-path semantics (exclusion.py:81-84): ``*``
-    matches one path segment / index."""
-    out = []
-    for chunk in re.split(r"(\*)", path):
-        if chunk == "*":
-            out.append(r"[^.\[\]]+")
-        else:
-            out.append(re.escape(chunk))
-    return "^" + "".join(out) + "$"
+    """Reference exclusion-path semantics (exclusion.py:81-117 +
+    tests/test_exclusion.py:87-121): EXACT match of the full path, where
+
+    * ``*`` as a name matches one segment name, ``[*]`` any index,
+    * ``..`` (recursive descent) matches any number of segments,
+    * a relative path (no leading ``$``) matches at any depth
+      (equivalent to a leading ``$..``),
+    * bare ``$`` matches only the root (never a data-plane issue).
+    """
+    if not path.startswith("$"):
+        path = "$.." + path
+    body = path[1:]
+    out = [r"^\$"]
+    i = 0
+    while i < len(body):
+        if body.startswith("..", i):
+            i += 2
+            if i < len(body) and body[i] == "*" and i + 1 == len(body):
+                out.append(_ANY_SEGMENT + "+")  # ..* → any descendant
+                i += 1
+            else:
+                out.append(_ANY_SEGMENT + "*")
+                # the following name/bracket is parsed by the next loop
+                # turns; re-add the implicit '.' unless a '[' follows
+                if i < len(body) and body[i] not in ".[":
+                    body = body[:i] + "." + body[i:]
+        elif body[i] == ".":
+            j = i + 1
+            k = j
+            while k < len(body) and body[k] not in ".[":
+                k += 1
+            name = body[j:k]
+            out.append(r"\.[^.\[\]]+" if name == "*" else r"\." + re.escape(name))
+            i = k
+        elif body[i] == "[":
+            k = body.index("]", i)
+            idx = body[i + 1 : k]
+            out.append(r"\[[^\]]+\]" if idx == "*" else r"\[" + re.escape(idx) + r"\]")
+            i = k + 1
+        else:  # stray token (shouldn't happen on validated paths)
+            out.append(re.escape(body[i]))
+            i += 1
+    return "".join(out) + "$"
 
 
 def exclusion_filter(violations: DataFrame, exclusions: Sequence[Exclusion]) -> DataFrame:

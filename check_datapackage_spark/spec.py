@@ -221,10 +221,11 @@ class TableSpec:
 
 def is_jsonpath(path: str) -> bool:
     """Syntactic jsonpath validation (ref ``_is_jsonpath``,
-    internals.py:49-67): must start with ``$``, balanced brackets, and
-    the ``&`` intersection operator is rejected (the reference bans it
-    at config-build time)."""
-    if not isinstance(path, str) or not path.startswith("$"):
+    internals.py:49-67): parseable path — relative paths are allowed
+    (the reference accepts ``created``, ``contributors[0].path``) — but
+    the ``&`` intersection operator is rejected at config-build time
+    exactly like the reference."""
+    if not isinstance(path, str) or not path:
         return False
     if "&" in path:
         return False
