@@ -52,6 +52,14 @@ def main(argv=None) -> int:
     p.add_argument("--exclude-jsonpath", nargs="*", default=[])
     p.add_argument("--max-examples", type=int, default=None)
     p.add_argument("--cores", type=int, default=None)
+    p.add_argument(
+        "--resume-ledger",
+        default=None,
+        help="audit-ledger path: validate only (source,bucket) work units "
+        "not yet recorded complete; append per-unit metrics on success",
+    )
+    p.add_argument("--n-buckets", type=int, default=64)
+    p.add_argument("--bucket-key", default=None, help="key column for work-unit bucketing (default: first PK col)")
     args = p.parse_args(argv)
 
     spark = get_spark("cdp-cli", cores=args.cores)
@@ -69,7 +77,31 @@ def main(argv=None) -> int:
         )
         df = load_table(spark, args.data, args.table)
         dims = {d: load_table(spark, args.data, d) for d in args.dims}
-        res = check_table(df, spec, config=config, dims=dims)
+
+        if args.resume_ledger:
+            # checkpoint/resume: restrict to pending (source,bucket) units
+            from .operators.audit import ResumableRun
+
+            key = args.bucket_key or (spec.primary_key[0] if spec.primary_key else None)
+            if key is None or "source" not in df.columns:
+                raise SystemExit("--resume-ledger needs a bucket key and a 'source' column")
+            run = ResumableRun(
+                ledger_path=args.resume_ledger, n_buckets=args.n_buckets, key=key
+            )
+            holder = {}
+
+            def _validate(pending):
+                r = check_table(pending.drop("_bucket"), spec, config=config, dims=dims)
+                holder["res"] = r
+                return r.violations, r
+
+            violations, n_units = run.run(df, _validate)
+            if n_units == 0:
+                print("All work units already complete — nothing to do.")
+                return 0
+            res = holder["res"]
+        else:
+            res = check_table(df, spec, config=config, dims=dims)
 
         if res.spec_issues:
             print(explain(res.spec_issues), file=sys.stderr)

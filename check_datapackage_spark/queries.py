@@ -898,6 +898,47 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def q31_asof_join(spark, sf_dir):
+    """As-of join: for each click event, the user's most recent prior
+    purchase (value + timestamp). Spark union+window implementation;
+    DuckDB ASOF LEFT JOIN oracle."""
+    from .operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    j = asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["value"],
+        seq_col="event_id",
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        F.col("value_asof").alias("last_purchase_value"),
+        F.date_format(F.col("ts_asof"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "last_purchase_ts"
+        ),
+    ).orderBy("event_id")
+
+
+Q31_SQL = """
+SELECT c.event_id, c.user_id,
+       p.value AS last_purchase_value,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS last_purchase_ts
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+ORDER BY c.event_id
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_profile_lineitem": q02_profile_lineitem,
@@ -929,6 +970,7 @@ QUERIES = {
     "q28_divergence": q28_divergence,
     "q29_embedding_near_dups": q29_embedding_near_dups,
     "q30_json_props": q30_json_props,
+    "q31_asof_join": q31_asof_join,
 }
 
 ORACLES = {
@@ -957,6 +999,7 @@ ORACLES = {
     "q27_group_quantiles": Q27_SQL,
     "q28_divergence": Q28_SQL,
     "q30_json_props": Q30_SQL,
+    "q31_asof_join": Q31_SQL,
     # q19-q22: non-SQL-expressible (MinHash/SimHash/LSH/mapInPandas) —
     # rows-only checks by design.
 }

@@ -64,3 +64,39 @@ def test_cli_end_to_end(tmp_path):
     )
     assert p2.returncode == 0, p2.stdout + p2.stderr
     assert "All checks passed!" in p2.stdout
+
+
+def test_cli_resume_ledger(tmp_path):
+    spec = {
+        "resources": [
+            {
+                "name": "documents",
+                "schema": {
+                    "fields": [
+                        {"name": "doc_id", "type": "integer", "constraints": {"required": True}},
+                        {"name": "n_chars", "type": "integer", "constraints": {"maximum": 400}},
+                    ],
+                    "primaryKey": "doc_id",
+                },
+            }
+        ]
+    }
+    spec_path = tmp_path / "datapackage.json"
+    spec_path.write_text(__import__("json").dumps(spec))
+    ledger = str(tmp_path / "ledger")
+
+    args = [
+        "--data", "/root/testdata/sf0.001",
+        "--table", "documents",
+        "--spec", str(spec_path),
+        "--resume-ledger", ledger,
+        "--n-buckets", "4",
+        "--cores", "4",
+    ]
+    p1 = run_cli(*args)
+    assert p1.returncode == 0, p1.stdout + p1.stderr
+    assert "violation" in p1.stderr or "All checks passed" in p1.stdout
+    # second run: every unit recorded → no-op
+    p2 = run_cli(*args)
+    assert p2.returncode == 0, p2.stdout + p2.stderr
+    assert "already complete" in p2.stdout

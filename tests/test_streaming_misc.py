@@ -103,3 +103,58 @@ def test_rolling_fingerprints(spark):
     assert rows[0] == rows[1]  # identical docs → identical fingerprints
     assert set(rows[0]).isdisjoint(set(rows[2]))
     assert len(rows[0]) >= 2
+
+
+def test_asof_join_semantics(spark):
+    from check_datapackage_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", "a"), (1, "2024-01-01 12:00:00", "b"),
+         (2, "2024-01-01 09:00:00", "c")],
+        "k int, ts string, tag string",
+    ).withColumn("ts", __import__("pyspark.sql.functions", fromlist=["F"]).to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 09:30:00", 10.0), (1, "2024-01-01 11:00:00", 20.0),
+         (1, "2024-01-01 12:00:00", 30.0), (2, "2024-01-01 09:30:00", 99.0)],
+        "k int, ts string, v double",
+    ).withColumn("ts", __import__("pyspark.sql.functions", fromlist=["F"]).to_timestamp("ts"))
+    out = {
+        (r["k"], r["tag"]): r["v_asof"]
+        for r in asof_join(left, right, "k", "ts", "ts", ["v"]).collect()
+    }
+    assert out[(1, "a")] == 10.0        # most recent prior
+    assert out[(1, "b")] == 30.0        # equal ts included (>= semantics)
+    assert out[(2, "c")] is None        # no prior right row → null
+
+
+def test_asof_join_tolerance(spark):
+    from pyspark.sql import functions as F
+    from check_datapackage_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00")], "k int, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 08:00:00", 5.0)], "k int, ts string, v double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    within = asof_join(left, right, "k", "ts", "ts", ["v"],
+                       tolerance_us=3 * 3600 * 1_000_000).collect()[0]
+    beyond = asof_join(left, right, "k", "ts", "ts", ["v"],
+                       tolerance_us=3600 * 1_000_000).collect()[0]
+    assert within["v_asof"] == 5.0
+    assert beyond["v_asof"] is None
+
+
+def test_cli_strictify():
+    from check_datapackage_spark.cli import strictify
+    from check_datapackage_spark.spec import TableSpec
+
+    spec = TableSpec.from_dict(
+        {"name": "t", "schema": {"fields": [
+            {"name": "name", "type": "string"},
+            {"name": "x", "type": "integer"}]}}
+    )
+    s = strictify(spec)
+    assert all(f.constraints.required for f in s.fields)
+    # ref strict name pattern (check.py:518-527)
+    assert s.field("name").constraints.pattern == r"^[a-z0-9._-]+$"
