@@ -29,14 +29,16 @@ TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
 def ws_token_count(col: Column) -> Column:
-    """Whitespace token count. Empty/blank string → 0.
+    """Whitespace token count, equal to Python's ``len(s.split())``.
 
     Built from length arithmetic (identical semantics in ANSI SQL /
-    DuckDB, unlike split-on-regex edge cases).
+    DuckDB, unlike split-on-regex edge cases). Order matters: squash ALL
+    whitespace runs to single spaces FIRST, then trim — ``trim`` strips
+    only 0x20, so trimming first would leave leading tabs/newlines as
+    phantom tokens (caught by tests/test_fuzz.py).
     """
-    trimmed = F.trim(col)
-    squashed = F.regexp_replace(trimmed, r"\s+", " ")
-    return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+    squashed = F.trim(F.regexp_replace(col, r"\s+", " "))
+    return F.when(F.length(squashed) == 0, F.lit(0)).otherwise(
         F.length(squashed) - F.length(F.replace(squashed, F.lit(" "), F.lit(""))) + 1
     )
 

@@ -344,9 +344,9 @@ def q10_token_counts(spark, sf_dir):
 Q10_SQL = r"""
 WITH pre AS (
   SELECT lang,
-         CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
-              ELSE LENGTH(regexp_replace(TRIM(text), '\s+', ' ', 'g'))
-                   - LENGTH(REPLACE(regexp_replace(TRIM(text), '\s+', ' ', 'g'), ' ', ''))
+         CASE WHEN LENGTH(TRIM(regexp_replace(text, '\s+', ' ', 'g'))) = 0 THEN 0
+              ELSE LENGTH(TRIM(regexp_replace(text, '\s+', ' ', 'g')))
+                   - LENGTH(REPLACE(TRIM(regexp_replace(text, '\s+', ' ', 'g')), ' ', ''))
                    + 1 END AS ws,
          LEN(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS re
   FROM documents)
@@ -421,9 +421,9 @@ _EN_PAT = r"\b(" + "|".join(text.LANG_MARKERS["en"]) + r")\b"
 Q12_SQL = rf"""
 WITH pre AS (
   SELECT source, CAST(n_chars AS DOUBLE) AS n,
-         CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
-              ELSE LENGTH(regexp_replace(TRIM(text), '\s+', ' ', 'g'))
-                   - LENGTH(REPLACE(regexp_replace(TRIM(text), '\s+', ' ', 'g'), ' ', ''))
+         CASE WHEN LENGTH(TRIM(regexp_replace(text, '\s+', ' ', 'g'))) = 0 THEN 0
+              ELSE LENGTH(TRIM(regexp_replace(text, '\s+', ' ', 'g')))
+                   - LENGTH(REPLACE(TRIM(regexp_replace(text, '\s+', ' ', 'g')), ' ', ''))
                    + 1 END AS toks,
          CAST(LENGTH(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
            / NULLIF(LENGTH(text), 0) AS praw,
