@@ -36,6 +36,8 @@ def run_suite(spark, sf_dir: str, names=HEADLINE) -> tuple[dict, dict, int]:
         times[name] = round(time.perf_counter() - t0, 3)
         rows[name] = n
         total_rows += n
+        # drop any intra-query persists so queries don't interfere
+        spark.catalog.clearCache()
     return times, rows, total_rows
 
 
