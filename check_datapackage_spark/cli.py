@@ -14,6 +14,7 @@ Exit code = 1 when violations were found and --error is set
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 from .issue import DataPackageError, explain
@@ -38,6 +39,50 @@ def strictify(spec):
     return replace(spec, fields=tuple(fields))
 
 
+#: ref CUSTOM_CHECKS_CONFIG_ERROR (cli.py:20-23): CustomCheck requires a
+#: Python callable and cannot come from TOML.
+CUSTOM_CHECKS_CONFIG_ERROR = (
+    "Custom checks cannot be configured in TOML because `check` must be "
+    "a Python callable. Define CustomCheck extensions in Python instead."
+)
+
+
+def load_toml_config(path: str = ".cdp.toml") -> dict:
+    """Bind run options from a ``.cdp.toml`` file (ref cli.py:40-47:
+    ``setup_cli(config_name=".cdp.toml")``; tests/test_cli.py:60-120).
+
+    Supported keys: ``strict`` (bool), ``[[exclusions]]`` tables
+    (jsonpath/type), ``[extensions]`` with ``[[extensions.required_checks]]``
+    tables; ``custom_checks`` in TOML is rejected exactly like the
+    reference.
+    """
+    import tomllib
+
+    if not os.path.exists(path):
+        return {}
+    with open(path, "rb") as f:
+        doc = tomllib.load(f)
+    out: dict = {}
+    if "strict" in doc:
+        out["strict"] = bool(doc["strict"])
+    if "exclusions" in doc:
+        out["exclusions"] = tuple(
+            Exclusion(jsonpath=e.get("jsonpath"), type=e.get("type"))
+            for e in doc["exclusions"]
+        )
+    ext = doc.get("extensions", {})
+    if ext.get("custom_checks") is not None:
+        raise ValueError(CUSTOM_CHECKS_CONFIG_ERROR)
+    if ext.get("required_checks"):
+        from .extensions import RequiredCheck
+
+        out["extensions"] = tuple(
+            RequiredCheck(column=rc["column"], message=rc.get("message"))
+            for rc in ext["required_checks"]
+        )
+    return out
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="check-datapackage-spark")
     p.add_argument("--data", required=True, help="sf dir or iceberg:<catalog.db>")
@@ -60,21 +105,35 @@ def main(argv=None) -> int:
     )
     p.add_argument("--n-buckets", type=int, default=64)
     p.add_argument("--bucket-key", default=None, help="key column for work-unit bucketing (default: first PK col)")
+    p.add_argument(
+        "--config",
+        default=".cdp.toml",
+        help="TOML config file (strict / [[exclusions]] / required checks)",
+    )
     args = p.parse_args(argv)
+    toml_cfg = load_toml_config(args.config)
 
     spark = get_spark("cdp-cli", cores=args.cores)
     try:
         spec = read_spec(args.spec, resource=args.resource or args.table)
-        if args.strict:
+        strict = args.strict or toml_cfg.get("strict", False)
+        if strict:
             spec = strictify(spec)
         config = CheckConfig(
-            strict=args.strict,
+            strict=strict,
             exclusions=tuple(
                 [Exclusion(type=t) for t in args.exclude_type]
                 + [Exclusion(jsonpath=j) for j in args.exclude_jsonpath]
-            ),
+            )
+            + toml_cfg.get("exclusions", ()),
+            extensions=toml_cfg.get("extensions", ()),
             max_examples_per_check=args.max_examples,
         )
+        extra = None
+        if config.extensions:
+            from .extensions import compile_extensions
+
+            extra = compile_extensions(config.extensions)
         df = load_table(spark, args.data, args.table)
         dims = {d: load_table(spark, args.data, d) for d in args.dims}
 
@@ -91,7 +150,7 @@ def main(argv=None) -> int:
             holder = {}
 
             def _validate(pending):
-                r = check_table(pending.drop("_bucket"), spec, config=config, dims=dims)
+                r = check_table(pending.drop("_bucket"), spec, config=config, dims=dims, extra_checks=extra)
                 holder["res"] = r
                 return r.violations, r
 
@@ -101,7 +160,7 @@ def main(argv=None) -> int:
                 return 0
             res = holder["res"]
         else:
-            res = check_table(df, spec, config=config, dims=dims)
+            res = check_table(df, spec, config=config, dims=dims, extra_checks=extra)
 
         if res.spec_issues:
             print(explain(res.spec_issues), file=sys.stderr)

@@ -100,3 +100,58 @@ def test_cli_resume_ledger(tmp_path):
     p2 = run_cli(*args)
     assert p2.returncode == 0, p2.stdout + p2.stderr
     assert "already complete" in p2.stdout
+
+
+def test_cli_cdp_toml_config(tmp_path):
+    """.cdp.toml binding: strict, exclusions, required checks
+    (ref tests/test_cli.py:60-120 shape)."""
+    import json
+
+    spec = {
+        "resources": [
+            {
+                "name": "orders",
+                "schema": {
+                    "fields": [
+                        {"name": "o_orderkey", "type": "integer"},
+                        {"name": "o_orderstatus", "type": "string",
+                         "constraints": {"enum": ["F", "O"]}},
+                    ],
+                    "primaryKey": "o_orderkey",
+                },
+            }
+        ]
+    }
+    (tmp_path / "datapackage.json").write_text(json.dumps(spec))
+    (tmp_path / "cdp.toml").write_text(
+        "\n".join(
+            [
+                "[[exclusions]]",
+                'type = "enum"',
+            ]
+        )
+    )
+    p = run_cli(
+        "--data", "/root/testdata/sf0.001",
+        "--table", "orders",
+        "--spec", str(tmp_path / "datapackage.json"),
+        "--config", str(tmp_path / "cdp.toml"),
+        "--error",
+        "--cores", "4",
+    )
+    # the only violations (enum) are excluded via TOML → pass
+    assert p.returncode == 0, p.stdout + p.stderr
+    assert "All checks passed!" in p.stdout
+
+
+def test_toml_custom_checks_rejected(tmp_path):
+    from check_datapackage_spark.cli import (
+        CUSTOM_CHECKS_CONFIG_ERROR,
+        load_toml_config,
+    )
+    import pytest as _pytest
+
+    f = tmp_path / "c.toml"
+    f.write_text("[extensions]\ncustom_checks = [{type='x'}]\n")
+    with _pytest.raises(ValueError, match="Custom checks cannot be configured"):
+        load_toml_config(str(f))
