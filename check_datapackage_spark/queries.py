@@ -740,27 +740,51 @@ ORDER BY jsonpath
 # ---------------------------------------------------------------------------
 
 
+#: q25 spec adds a deliberately-failing pattern ('5-LOW' rejected by the
+#: regex) so the exclusion demonstrably removes ONE class (enum) while
+#: the other survives — a 0-row oracle would be a weak check.
+Q25_SPEC = TableSpec.from_dict(
+    {
+        "name": "orders",
+        "schema": {
+            "fields": [
+                {"name": "o_orderkey", "type": "integer", "constraints": {"required": True}},
+                {"name": "o_orderstatus", "type": "string", "constraints": {"enum": ["F", "O"]}},
+                {"name": "o_orderpriority", "type": "string", "constraints": {"pattern": "^[1-4]-[A-Z ]+$"}},
+            ],
+            "primaryKey": "o_orderkey",
+        },
+    }
+)
+
+
 def q25_excluded_violations(spark, sf_dir):
     from .plans.validation import check_table
 
     orders = _t(spark, sf_dir, "orders")
-    customer = _t(spark, sf_dir, "customer")
     res = check_table(
         orders,
-        ORDERS_SPEC,
+        Q25_SPEC,
         config=CheckConfig(
             exclusions=(Exclusion(jsonpath="$.orders[*].o_orderstatus", type="enum"),)
         ),
-        dims={"customer": customer},
     )
     return res.violations.orderBy("jsonpath", "type")
 
 
 Q25_SQL = """
-SELECT '$.none' AS jsonpath, 'x' AS type, 'x' AS message,
-       CAST(NULL AS VARCHAR) AS instance, 'x' AS "check", 'x' AS "column",
-       CAST(NULL AS VARCHAR) AS row_key, CAST(NULL AS VARCHAR) AS partition
-WHERE FALSE
+SELECT '$.orders[' || CAST(o_orderkey AS VARCHAR) || '].o_orderpriority' AS jsonpath,
+       'pattern' AS type,
+       'value does not match pattern ''^[1-4]-[A-Z ]+$''' AS message,
+       o_orderpriority AS instance,
+       'o_orderpriority.pattern' AS "check",
+       'o_orderpriority' AS "column",
+       CAST(o_orderkey AS VARCHAR) AS row_key,
+       CAST(NULL AS VARCHAR) AS partition
+FROM orders
+WHERE o_orderpriority IS NOT NULL
+  AND NOT regexp_matches(o_orderpriority, '^[1-4]-[A-Z ]+$')
+ORDER BY jsonpath, type
 """
 
 
