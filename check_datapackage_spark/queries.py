@@ -28,6 +28,9 @@ from .spec import CheckConfig, Exclusion, TableSpec
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from .sources.registry import load_table
 
+    # oracle comparability does not depend on who built the session:
+    # timestamps format/cast in UTC (DuckDB is UTC-naive)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return load_table(spark, sf_dir, name)
 
 
