@@ -966,6 +966,46 @@ ORDER BY c.event_id
 """
 
 
+def q32_tdigest_by_group(spark, sf_dir):
+    """Per-group t-digest medians (mergeable sketch path; rows-only —
+    sketch results are approximate by design, accuracy pinned in
+    tests/test_sketch_functions.py against exact quantiles)."""
+    from .operators.sketch import tdigest_by_group
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = tdigest_by_group(li, "l_quantity", "l_returnflag", [0.25, 0.5, 0.75])
+    return out.select(
+        "l_returnflag", "q", F.round("value", 2).alias("value")
+    ).orderBy("l_returnflag", "q")
+
+
+def q33_exact_dedup(spark, sf_dir):
+    """End-to-end exact dedup: corpus with planted duplicates in,
+    one representative per fingerprint out."""
+    d = _docs_with_planted_dups(spark, sf_dir)
+    kept = dedup.exact_dedup(d)
+    return kept.agg(
+        F.count(F.lit(1)).alias("n_after"),
+        F.min("doc_id").alias("min_kept_id"),
+        F.max("doc_id").alias("max_kept_id"),
+    )
+
+
+Q33_SQL = """
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 10
+  UNION ALL SELECT doc_id + 2000000, text || ' appended tail marker'
+  FROM documents WHERE doc_id < 10),
+fp AS (SELECT doc_id,
+              md5(TRIM(regexp_replace(LOWER(text), '\\s+', ' ', 'g'))) AS f
+       FROM aug),
+kept AS (SELECT f, MIN(doc_id) AS doc_id FROM fp GROUP BY f)
+SELECT COUNT(*) AS n_after, MIN(doc_id) AS min_kept_id, MAX(doc_id) AS max_kept_id
+FROM kept
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_profile_lineitem": q02_profile_lineitem,
@@ -998,6 +1038,8 @@ QUERIES = {
     "q29_embedding_near_dups": q29_embedding_near_dups,
     "q30_json_props": q30_json_props,
     "q31_asof_join": q31_asof_join,
+    "q32_tdigest_by_group": q32_tdigest_by_group,
+    "q33_exact_dedup": q33_exact_dedup,
 }
 
 ORACLES = {
@@ -1027,6 +1069,7 @@ ORACLES = {
     "q28_divergence": Q28_SQL,
     "q30_json_props": Q30_SQL,
     "q31_asof_join": Q31_SQL,
+    "q33_exact_dedup": Q33_SQL,
     # q19-q22: non-SQL-expressible (MinHash/SimHash/LSH/mapInPandas) —
     # rows-only checks by design.
 }
