@@ -95,3 +95,31 @@ def test_q01_aggregates_pushdown_and_wscg(spark, sf_dir):
     assert "l_partkey" not in read_schema  # unused column pruned
     assert "*(" in p, p  # whole-stage-codegen span markers
     assert "partial_sum" in p, p  # map-side combine before the shuffle
+
+
+def test_bucketed_join_no_shuffle(spark, sf_dir, tmp_path_factory):
+    """Bucketing both sides on the join key co-locates the join:
+    the sort-merge join runs with ZERO Exchange (SCALE.md referential
+    section — the pre-partitioning strategy for repeated big joins)."""
+    # warehouse dir is a static conf — uses the session default
+    # (spark-warehouse/ under the test cwd, gitignored)
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS ord_b")
+    (li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+       .mode("overwrite").format("parquet").saveAsTable("li_b"))
+    (orders.withColumnRenamed("o_orderkey", "l_orderkey")
+       .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+       .mode("overwrite").format("parquet").saveAsTable("ord_b"))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("li_b").join(spark.table("ord_b"), "l_orderkey")
+        p = plan_of(j)
+        assert "Exchange" not in p, p
+        assert "SortMergeJoin" in p, p
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS li_b")
+        spark.sql("DROP TABLE IF EXISTS ord_b")
