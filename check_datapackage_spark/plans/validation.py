@@ -231,6 +231,50 @@ def exclusion_filter(violations: DataFrame, exclusions: Sequence[Exclusion]) -> 
     return violations.where(~matched)
 
 
+def prune_excluded_checks(
+    checks: Sequence[CompiledCheck],
+    exclusions: Sequence[Exclusion],
+    table_name: str,
+) -> list[CompiledCheck]:
+    """Driver-side plan pruning (SURVEY §2.6 U4 note: "don't even
+    compute excluded checks").
+
+    A check is dropped from the violations plan when some exclusion is
+    guaranteed to match EVERY violation it could emit:
+
+    * ``Exclusion(type=T)`` with no jsonpath → drops all checks whose
+      issue type is T;
+    * ``Exclusion(jsonpath='$.<table>[*].<col>')`` (whole-column
+      pattern, optional type) → drops matching checks on that column.
+
+    Anything subtler (row-specific paths, recursive descent) stays in
+    the plan and is filtered post-hoc by :func:`exclusion_filter` —
+    pruning is an optimization, never a semantic change. The summary
+    matrix intentionally keeps all checks (it reports fail counts, not
+    issues).
+    """
+    out = []
+    for ck in checks:
+        dropped = False
+        for ex in exclusions:
+            if ex.is_empty():
+                continue
+            type_covers = ex.type is None or ex.type == ck.issue_type
+            if ex.jsonpath is None:
+                path_covers = ex.type is not None  # bare empty handled above
+            else:
+                path_covers = ck.column is not None and ex.jsonpath in (
+                    f"$.{table_name}[*].{ck.column}",
+                    f"..{ck.column}",
+                )
+            if type_covers and path_covers:
+                dropped = True
+                break
+        if not dropped:
+            out.append(ck)
+    return out
+
+
 def cap_examples(
     violations: DataFrame, max_per_check: int, partition: bool = True
 ) -> DataFrame:
@@ -312,7 +356,10 @@ def check_table(
         row_key = None
     partition = spec.partition_by[0] if spec.partition_by else None
 
-    v = violations_plan(df, runnable, spec.name, row_key=row_key, partition=partition)
+    # plan pruning: checks whose every violation a type/whole-column
+    # exclusion would drop are never computed (U4 pushdown)
+    emitted = prune_excluded_checks(runnable, config.exclusions, spec.name)
+    v = violations_plan(df, emitted, spec.name, row_key=row_key, partition=partition)
     parts = [v]
 
     # Gate (R1, ref check.py:330-337): skip data-level key checks whose

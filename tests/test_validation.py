@@ -165,3 +165,36 @@ def test_single_scan_plan(spark, valid_df):
     v = violations_plan(base, checks, "sequences", row_key="doc_id")
     plan = v._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan ") <= 1, plan
+
+
+def test_exclusion_prunes_check_from_plan(spark, bad):
+    """U4 pushdown: a type-level exclusion removes the check from the
+    violations plan entirely — the pattern literal disappears from the
+    physical plan, not just from the output."""
+    from check_datapackage_spark.plans.validation import prune_excluded_checks
+    from check_datapackage_spark.compile import compile_table_checks
+
+    df, _ = bad
+    base = df.drop("_row")
+    checks = compile_table_checks(sequences_spec(), schema=base.schema)
+    pruned = prune_excluded_checks(checks, (Exclusion(type="pattern"),), "sequences")
+    assert {c.name for c in checks} - {c.name for c in pruned} == {"doc_id.pattern"}
+
+    # whole-column pattern prunes every check on that column
+    pruned2 = prune_excluded_checks(
+        checks, (Exclusion(jsonpath="$.sequences[*].n_tok"),), "sequences"
+    )
+    dropped = {c.name for c in checks} - {c.name for c in pruned2}
+    assert dropped == {"n_tok.minimum", "n_tok.maximum"}
+
+    # row-specific path prunes nothing (post-filter handles it)
+    pruned3 = prune_excluded_checks(
+        checks, (Exclusion(jsonpath="$.sequences[doc-0].n_tok"),), "sequences"
+    )
+    assert len(pruned3) == len(checks)
+
+    # end-to-end: results identical to post-filtering
+    cfg = CheckConfig(exclusions=(Exclusion(type="pattern"),))
+    res = run_check(spark, df, config=cfg)
+    assert res.violations.where(F.col("type") == "pattern").count() == 0
+    assert res.violations.where(F.col("type") == "required").count() == 2
