@@ -354,7 +354,7 @@ WITH pre AS (
          LEN(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS re
   FROM documents)
 SELECT lang, COUNT(*) AS n_docs,
-       SUM(ws) AS total_ws_tokens,
+       CAST(SUM(ws) AS BIGINT) AS total_ws_tokens,
        CAST(SUM(re) AS BIGINT) AS total_regex_tokens
 FROM pre GROUP BY lang ORDER BY lang
 """
@@ -444,8 +444,8 @@ sc AS (
     ) / 3.0, 6) AS q
   FROM pre)
 SELECT source, COUNT(*) AS n_docs,
-       SUM(CASE WHEN q < 0.5 THEN 1 ELSE 0 END) AS n_low_quality,
-       SUM(CASE WHEN q >= 0.8 THEN 1 ELSE 0 END) AS n_high_quality
+       CAST(SUM(CASE WHEN q < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_low_quality,
+       CAST(SUM(CASE WHEN q >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_quality
 FROM sc GROUP BY source ORDER BY source
 """
 
@@ -572,7 +572,7 @@ WITH g AS (
                 (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
               THEN 1 ELSE 0 END AS new_session
   FROM events)
-SELECT user_id, SUM(new_session) AS n_sessions, COUNT(*) AS n_events
+SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
 FROM g GROUP BY user_id ORDER BY user_id
 """
 
@@ -630,7 +630,7 @@ def q18_invariant_nchars(spark, sf_dir):
 
 Q18_SQL = """
 SELECT lang, COUNT(*) AS n_docs,
-       SUM(CASE WHEN LENGTH(text) <> n_chars THEN 1 ELSE 0 END) AS n_invariant_violations
+       CAST(SUM(CASE WHEN LENGTH(text) <> n_chars THEN 1 ELSE 0 END) AS BIGINT) AS n_invariant_violations
 FROM documents GROUP BY lang ORDER BY lang
 """
 
@@ -917,8 +917,8 @@ def q30_json_props(spark, sf_dir):
 
 Q30_SQL = """
 SELECT event_type, COUNT(*) AS n,
-       SUM(CASE WHEN json_valid(props) THEN 1 ELSE 0 END) AS n_valid_json,
-       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(SUM(CASE WHEN json_valid(props) THEN 1 ELSE 0 END) AS BIGINT) AS n_valid_json,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
        MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
 FROM events GROUP BY event_type ORDER BY event_type
