@@ -2,9 +2,13 @@
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
 ONE JSON line: {"metric", "value", "unit", "queries", "sf", ...}.
 
-``value`` = total wall-clock seconds for the full suite (one timed run
-per query after a session warm-up query). Per-query seconds in
-"queries". Scaling-efficiency runs (N vs 4N cores) live in
+``value`` = suite wall-clock seconds = sum over queries of the
+per-query MEDIAN of $SPARK_GRAFT_BENCH_RUNS (default 3) timed runs —
+medians make the numbers contention-proof (a concurrent process
+inflating one run no longer moves the headline; round-1 bench recorded
+q30 at 72.6 s under contention vs 1.6 s quiet). The machine's 1-minute
+load average is recorded before and after so contaminated runs are
+visible in the output. Scaling-efficiency runs (N vs 4N cores) live in
 tools/scaling_bench.py which writes BENCH/BASELINE.md.
 """
 
@@ -12,6 +16,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -24,46 +29,68 @@ from check_datapackage_spark.session import get_spark
 HEADLINE = sorted(QUERIES)
 
 
-def run_suite(spark, sf_dir: str, names=HEADLINE) -> tuple[dict, dict, int]:
+def run_suite(
+    spark, sf_dir: str, names=HEADLINE, runs: int = 3
+) -> tuple[dict, dict, int]:
+    """Median-of-``runs`` wall-clock per query.
+
+    Runs are interleaved per query (q's runs are back-to-back) so each
+    query's first, cold execution (codegen compile, Python-worker
+    spawn, cache population) is amortized into the later runs' medians
+    rather than charged to whichever query happens to run first.
+    """
     times: dict[str, float] = {}
     rows: dict[str, int] = {}
     total_rows = 0
     for name in names:
-        t0 = time.perf_counter()
-        # toPandas = Arrow-batched result transfer (collect() serializes
-        # row-by-row through py4j — 5-10x slower for 100k+ row results)
-        n = len(QUERIES[name](spark, sf_dir).toPandas())
-        times[name] = round(time.perf_counter() - t0, 3)
+        samples = []
+        n = 0
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            # toPandas = Arrow-batched result transfer (collect()
+            # serializes row-by-row through py4j — 5-10x slower for
+            # 100k+ row results)
+            n = len(QUERIES[name](spark, sf_dir).toPandas())
+            samples.append(time.perf_counter() - t0)
+            # drop intra-query persists so runs don't reuse each
+            # other's materialized caches (and queries don't interfere)
+            spark.catalog.clearCache()
+        times[name] = round(statistics.median(samples), 3)
         rows[name] = n
         total_rows += n
-        # drop any intra-query persists so queries don't interfere
-        spark.catalog.clearCache()
     return times, rows, total_rows
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    load_before = round(os.getloadavg()[0], 2)
     spark = get_spark("cdp-bench", cores=cores, shuffle_partitions=cores)
 
     # warm-up: JVM/codegen/Arrow paths (not timed)
     QUERIES["q02_profile_lineitem"](spark, sf_dir).collect()
 
-    t0 = time.perf_counter()
-    times, rows, _ = run_suite(spark, sf_dir)
-    total = round(time.perf_counter() - t0, 3)
+    times, rows, _ = run_suite(spark, sf_dir, runs=runs)
+    total = round(sum(times.values()), 3)
 
     n_input = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
     sf = sf_dir.rstrip("/").split("sf")[-1]
     print(
         json.dumps(
             {
-                "metric": f"validation suite wall-clock ({len(HEADLINE)} operator queries)",
+                "metric": (
+                    f"validation suite wall-clock ({len(HEADLINE)} operator "
+                    f"queries, median of {runs} runs each)"
+                ),
                 "value": total,
                 "unit": "sec",
                 "queries": times,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "cores": cores,
+                "runs_per_query": runs,
+                "loadavg_before": load_before,
+                "loadavg_after": round(os.getloadavg()[0], 2),
                 "lineitem_rows": n_input,
                 "rows_per_sec": round(n_input / total, 1),
             }

@@ -75,11 +75,22 @@ def histogram(
 
 
 def _normalized(hist: DataFrame, keys: list[str]) -> DataFrame:
-    """Add probability column p = count / sum(count) over keys."""
-    from pyspark.sql import Window as W
+    """Add probability column p = count / sum(count) over keys.
 
-    w = W.partitionBy(*keys) if keys else W.partitionBy(F.lit(1))
-    return hist.withColumn("p", F.col("count") / F.sum("count").over(w))
+    The global (no-keys) case is a scalar agg broadcast back onto the
+    rows — NOT a ``partitionBy(lit(1))`` window, which Spark executes
+    as a single-partition WindowExec ("No Partition Defined" warning)
+    and which would serialize an unbounded frame through one task.
+    """
+    if keys:
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy(*keys)
+        return hist.withColumn("p", F.col("count") / F.sum("count").over(w))
+    total = hist.agg(F.sum("count").alias("_total"))
+    return hist.crossJoin(F.broadcast(total)).withColumn(
+        "p", F.col("count") / F.col("_total")
+    ).drop("_total")
 
 
 def divergence(

@@ -154,17 +154,32 @@ def extract_features(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, lens, shas, feats = [], [], [], []
-            for _, row in pdf.iterrows():
-                payload = bytes(row[payload_col]) if row[payload_col] is not None else b""
-                mt = (row[meta_col].get("media_type") if isinstance(row[meta_col], dict) else None) or "application/octet-stream"
-                decode = registry.get(mt)
-                ids.append(row[id_col])
-                lens.append(len(payload))
-                shas.append(hashlib.sha1(payload).hexdigest())
-                feats.append(decode(payload).tolist() if payload else None)
+            # vectorized over the batch (iterrows() is row-at-a-time
+            # pandas — the slowest possible loop and defeats Arrow
+            # batching): bulk-convert payloads once, then byte_len /
+            # sha1 as list comprehensions over plain bytes. Python-level
+            # looping is kept ONLY for the per-media-type decoder
+            # dispatch, which is inherently per-row.
+            payloads = [
+                bytes(p) if p is not None else b"" for p in pdf[payload_col]
+            ]
+            metas = (
+                m.get("media_type") if isinstance(m, dict) else None
+                for m in pdf[meta_col]
+            )
+            feats = [
+                registry.get(mt or "application/octet-stream")(p).tolist()
+                if p
+                else None
+                for p, mt in zip(payloads, metas)
+            ]
             yield pd.DataFrame(
-                {"doc_id": ids, "byte_len": lens, "sha1": shas, "features": feats}
+                {
+                    "doc_id": pdf[id_col].to_numpy(),
+                    "byte_len": [len(p) for p in payloads],
+                    "sha1": [hashlib.sha1(p).hexdigest() for p in payloads],
+                    "features": feats,
+                }
             )
 
     pruned = df.select(id_col, payload_col, meta_col)

