@@ -34,8 +34,14 @@ from .spec import (
 )
 from .compile import (
     CompiledCheck,
+    compile_all_of,
+    compile_all_of_required,
+    compile_any_of_required,
     compile_field_checks,
     compile_invariant,
+    compile_json_schema_checks,
+    compile_one_of,
+    compile_one_of_required,
     compile_table_checks,
     schema_conforms,
 )
@@ -71,8 +77,14 @@ __all__ = [
     "VIOLATION_SCHEMA",
     "ValidationResult",
     "check_table",
+    "compile_all_of",
+    "compile_all_of_required",
+    "compile_any_of_required",
     "compile_field_checks",
     "compile_invariant",
+    "compile_json_schema_checks",
+    "compile_one_of",
+    "compile_one_of_required",
     "compile_table_checks",
     "exclusion_filter",
     "explain",

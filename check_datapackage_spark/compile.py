@@ -182,6 +182,115 @@ def compile_field_checks(
                 col.isNull() | (length <= F.lit(c.max_length)),
             )
 
+    # C8 minItems/maxItems — declarative collection-size constraints
+    # (ref jsonschema minItems on resource path arrays,
+    # tests/test_check.py:646-664: empty array → type "minItems").
+    if c.min_items is not None:
+        add(
+            "minItems",
+            "minItems",
+            f"array has fewer items than the minimum of {c.min_items}",
+            col.isNull() | (F.size(col) >= F.lit(c.min_items)),
+        )
+    if c.max_items is not None:
+        add(
+            "maxItems",
+            "maxItems",
+            f"array has more items than the maximum of {c.max_items}",
+            col.isNull() | (F.size(col) <= F.lit(c.max_items)),
+        )
+
+    # C9 uniqueItems (ref duplicate enum values →
+    # type "uniqueItems", tests/test_check.py:758-768).
+    if c.unique_items:
+        add(
+            "uniqueItems",
+            "uniqueItems",
+            "array items are not unique",
+            col.isNull() | (F.size(col) == F.size(F.array_distinct(col))),
+        )
+
+    # C10 nested jsonSchema constraint on object/array fields
+    # (ref schema supports jsonSchema per SURVEY §1.4).
+    if c.json_schema:
+        checks.extend(compile_json_schema_checks(field))
+
+    return checks
+
+
+def compile_json_schema_checks(field: FieldSpec) -> list[CompiledCheck]:
+    """Compile ``constraints.jsonSchema`` for a JSON-string column —
+    minimal jsonschema subset: top-level ``type`` (object/array),
+    ``required`` property names, and per-property ``type`` under
+    ``properties`` (string/number/integer/boolean).
+
+    All predicates are built-in JSON expressions (``try_parse_json``
+    validity + ``get_json_object`` extraction) — JVM-side, no UDF, so
+    the checks fuse into the single-scan violations plan like every
+    other constraint.
+    """
+    js = field.constraints.json_schema or {}
+    col = F.col(field.name)
+    checks: list[CompiledCheck] = []
+    inst = col.cast("string")
+
+    def add(kind: str, issue_type: str, message: str, ok: Column) -> None:
+        checks.append(
+            CompiledCheck(
+                name=f"{field.name}.jsonSchema.{kind}",
+                column=field.name,
+                issue_type=issue_type,
+                message=message,
+                ok=ok,
+                instance=inst,
+            )
+        )
+
+    valid = F.try_parse_json(col).isNotNull()
+    top_type = js.get("type")
+    if top_type == "object":
+        add(
+            "type",
+            "type",
+            "value is not a JSON object",
+            col.isNull() | (valid & col.rlike(r"^\s*\{")),
+        )
+    elif top_type == "array":
+        add(
+            "type",
+            "type",
+            "value is not a JSON array",
+            col.isNull() | (valid & col.rlike(r"^\s*\[")),
+        )
+
+    for prop in js.get("required", []):
+        add(
+            f"required.{prop}",
+            "required",
+            f"{prop} is a required property",
+            col.isNull() | F.get_json_object(col, f"$.{prop}").isNotNull(),
+        )
+
+    #: extracted JSON scalars are strings; per-type re-parse predicates.
+    #: try_cast, not cast — ANSI mode (Spark 4 default) makes a failed
+    #: cast throw instead of returning NULL.
+    _type_ok: dict[str, Callable[[Column], Column]] = {
+        "integer": lambda v: v.try_cast("long").isNotNull(),
+        "number": lambda v: v.try_cast("double").isNotNull(),
+        "boolean": lambda v: v.isin("true", "false"),
+        "string": lambda v: v.isNotNull(),
+    }
+    for prop, sub in js.get("properties", {}).items():
+        pt = sub.get("type") if isinstance(sub, dict) else None
+        if pt not in _type_ok:
+            continue
+        v = F.get_json_object(col, f"$.{prop}")
+        add(
+            f"properties.{prop}.type",
+            "type",
+            f"{prop} is not of type '{pt}'",
+            col.isNull() | v.isNull() | _type_ok[pt](v),
+        )
     return checks
 
 
@@ -227,6 +336,112 @@ def compile_any_of_required(
     )
 
 
+def _presence_counts(columns: Sequence[str]) -> Column:
+    """Number of non-null values among ``columns`` for the row."""
+    n = F.lit(0)
+    for c in columns:
+        n = n + F.col(c).isNotNull().cast("int")
+    return n
+
+
+def compile_one_of_required(
+    columns: Sequence[str], table_name: str = ""
+) -> list[CompiledCheck]:
+    """oneOf-required: EXACTLY one of ``columns`` non-null — the
+    reference's resource path-vs-data oneOf lifted to columns
+    (ref check.py:619-645 _handle_S_resources_x; GROUP_ERRORS
+    constants.py:5).
+
+    Mirrors the reference's two failure surfaces exactly
+    (tests/test_check.py:556-568, 624-628): NONE present → type
+    "required" with the informative combined message (not one error per
+    column); MORE than one present → type "oneOf". A row can fail at
+    most one of the two checks, so the pair is still one logical
+    combinator.
+    """
+    cols = list(columns)
+    n = _presence_counts(cols)
+    pretty_or = " or ".join(f"`{c}`" for c in cols)
+    pretty = ", ".join(f"`{c}`" for c in cols)
+    none_present = CompiledCheck(
+        name=f"{'|'.join(cols)}.oneOf.required",
+        column=None,
+        issue_type="required",
+        message=(
+            f"This row has no {pretty_or} field. One of them must be provided."
+        ),
+        ok=n >= 1,
+        instance=F.lit(None).cast("string"),
+    )
+    too_many = CompiledCheck(
+        name=f"{'|'.join(cols)}.oneOf",
+        column=None,
+        issue_type="oneOf",
+        message=f"must have exactly one of: {pretty}",
+        ok=n <= 1,
+        instance=F.lit(None).cast("string"),
+    )
+    return [none_present, too_many]
+
+
+def compile_all_of_required(
+    columns: Sequence[str], table_name: str = ""
+) -> CompiledCheck:
+    """allOf-required: every one of ``columns`` must be non-null
+    (GROUP_ERRORS third combinator, ref constants.py:5). One grouped
+    issue per failing row — the per-column detail belongs to the
+    per-field required checks when declared."""
+    cols = list(columns)
+    ok = F.lit(True)
+    for c in cols:
+        ok = ok & F.col(c).isNotNull()
+    pretty = ", ".join(f"`{c}`" for c in cols)
+    return CompiledCheck(
+        name=f"{'|'.join(cols)}.allOf",
+        column=None,
+        issue_type="allOf",
+        message=f"must have all of: {pretty}",
+        ok=ok,
+        instance=F.lit(None).cast("string"),
+    )
+
+
+def compile_one_of(
+    name: str, predicates: Sequence[Column], message: Optional[str] = None
+) -> CompiledCheck:
+    """Generic oneOf over arbitrary row predicates: exactly one must
+    hold (jsonschema oneOf over subschemas, lifted to predicates)."""
+    n = F.lit(0)
+    for p in predicates:
+        n = n + p.cast("int")
+    return CompiledCheck(
+        name=f"{name}.oneOf",
+        column=None,
+        issue_type="oneOf",
+        message=message or "exactly one of the alternatives must hold",
+        ok=n == 1,
+        instance=F.lit(None).cast("string"),
+    )
+
+
+def compile_all_of(
+    name: str, predicates: Sequence[Column], message: Optional[str] = None
+) -> CompiledCheck:
+    """Generic allOf over arbitrary row predicates (fused into one
+    boolean expression — no extra scan per subschema)."""
+    ok = F.lit(True)
+    for p in predicates:
+        ok = ok & p
+    return CompiledCheck(
+        name=f"{name}.allOf",
+        column=None,
+        issue_type="allOf",
+        message=message or "all of the alternatives must hold",
+        ok=ok,
+        instance=F.lit(None).cast("string"),
+    )
+
+
 def compile_table_checks(
     spec: TableSpec,
     extra: Optional[list[CompiledCheck]] = None,
@@ -245,6 +460,23 @@ def compile_table_checks(
         checks.extend(
             compile_field_checks(field, spec.name, actual_type=actual.get(field.name))
         )
+    # declarative combinators (GROUP_ERRORS: oneOf/anyOf/allOf over
+    # column groups, spec schema keys of the same names). When the
+    # physical schema is known, a combinator referencing an absent
+    # column is skipped — the missing column surfaces through
+    # schema_conforms, not an unresolvable expression.
+    def _cols_present(group) -> bool:
+        return schema is None or all(c in actual for c in group)
+
+    for group in spec.one_of:
+        if _cols_present(group):
+            checks.extend(compile_one_of_required(group, spec.name))
+    for group in spec.any_of:
+        if _cols_present(group):
+            checks.append(compile_any_of_required(group, spec.name))
+    for group in spec.all_of:
+        if _cols_present(group):
+            checks.append(compile_all_of_required(group, spec.name))
     if extra:
         checks.extend(extra)
     return checks

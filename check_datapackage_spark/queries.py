@@ -1010,6 +1010,183 @@ FROM kept
 """
 
 
+# ---------------------------------------------------------------------------
+# q34 — oneOf/allOf combinators through the fused check plan (C10)
+# ---------------------------------------------------------------------------
+
+
+def q34_combinators(spark, sf_dir):
+    """GROUP_ERRORS combinators (ref constants.py:5, check.py:917-950):
+    oneOf = exactly-one-of two alternative columns (the resource
+    path-vs-data rule lifted to columns), allOf = all columns present.
+    Nullability is synthesized deterministically from event_id so both
+    failure surfaces (none present → 'required', both → 'oneOf') and
+    allOf violations all occur."""
+    from .plans.validation import check_table
+
+    ev = _t(spark, sf_dir, "events")
+    staged = ev.select(
+        "event_id",
+        F.when(F.col("event_id") % 3 == 0, F.col("props")).alias("props_a"),
+        F.when(F.col("event_id") % 2 == 0, F.col("event_type")).alias("alt_b"),
+        F.when(F.col("event_id") % 7 != 0, F.col("user_id")).alias("u"),
+        "value",
+    )
+    spec = TableSpec.from_dict(
+        {
+            "name": "events_staged",
+            "schema": {
+                "fields": [{"name": "event_id", "type": "integer"}],
+                "primaryKey": ["event_id"],
+                "oneOf": [["props_a", "alt_b"]],
+                "allOf": [["u", "value"]],
+            },
+        }
+    )
+    res = check_table(staged, spec)
+    return res.violations.orderBy("jsonpath", "type")
+
+
+Q34_SQL = """
+WITH s AS (
+  SELECT event_id,
+         CASE WHEN event_id % 3 = 0 THEN props END AS props_a,
+         CASE WHEN event_id % 2 = 0 THEN event_type END AS alt_b,
+         CASE WHEN event_id % 7 <> 0 THEN user_id END AS u,
+         value
+  FROM events)
+SELECT * FROM (
+  SELECT '$.events_staged[' || CAST(event_id AS VARCHAR) || ']' AS jsonpath,
+         'required' AS type,
+         'This row has no `props_a` or `alt_b` field. One of them must be provided.' AS message,
+         CAST(NULL AS VARCHAR) AS instance,
+         'props_a|alt_b.oneOf.required' AS "check",
+         CAST(NULL AS VARCHAR) AS "column",
+         CAST(event_id AS VARCHAR) AS row_key,
+         CAST(NULL AS VARCHAR) AS partition
+  FROM s WHERE props_a IS NULL AND alt_b IS NULL
+  UNION ALL
+  SELECT '$.events_staged[' || CAST(event_id AS VARCHAR) || ']',
+         'oneOf',
+         'must have exactly one of: `props_a`, `alt_b`',
+         CAST(NULL AS VARCHAR),
+         'props_a|alt_b.oneOf',
+         CAST(NULL AS VARCHAR),
+         CAST(event_id AS VARCHAR),
+         CAST(NULL AS VARCHAR)
+  FROM s WHERE props_a IS NOT NULL AND alt_b IS NOT NULL
+  UNION ALL
+  SELECT '$.events_staged[' || CAST(event_id AS VARCHAR) || ']',
+         'allOf',
+         'must have all of: `u`, `value`',
+         CAST(NULL AS VARCHAR),
+         'u|value.allOf',
+         CAST(NULL AS VARCHAR),
+         CAST(event_id AS VARCHAR),
+         CAST(NULL AS VARCHAR)
+  FROM s WHERE u IS NULL OR value IS NULL
+)
+ORDER BY jsonpath, type
+"""
+
+
+# ---------------------------------------------------------------------------
+# q35 — nested jsonSchema constraint on a JSON-string column (C10)
+# ---------------------------------------------------------------------------
+
+
+def q35_json_schema_constraint(spark, sf_dir):
+    """constraints.jsonSchema compile (ref schema §1.4): top-level
+    'object' type, required property, per-property integer type —
+    all built-in JSON expressions fused into the single-scan plan.
+    Corruption is planted deterministically from event_id."""
+    from .plans.validation import check_table
+
+    ev = _t(spark, sf_dir, "events")
+    staged = ev.select(
+        "event_id",
+        F.when(F.col("event_id") % 11 == 0, F.substring("props", 1, 4))
+        .when(F.col("event_id") % 13 == 0, F.lit('{"j": 1}'))
+        .when(F.col("event_id") % 17 == 0, F.lit('{"k": "abc"}'))
+        .otherwise(F.col("props"))
+        .alias("props"),
+    )
+    spec = TableSpec.from_dict(
+        {
+            "name": "events_js",
+            "schema": {
+                "fields": [
+                    {
+                        "name": "props",
+                        "type": "string",
+                        "constraints": {
+                            "jsonSchema": {
+                                "type": "object",
+                                "required": ["k"],
+                                "properties": {"k": {"type": "integer"}},
+                            }
+                        },
+                    }
+                ],
+                "primaryKey": ["event_id"],
+            },
+        }
+    )
+    res = check_table(staged, spec)
+    return res.violations.orderBy("jsonpath", "type")
+
+
+Q35_SQL = """
+WITH s AS (
+  SELECT event_id,
+         CASE WHEN event_id % 11 = 0 THEN SUBSTRING(props, 1, 4)
+              WHEN event_id % 13 = 0 THEN '{"j": 1}'
+              WHEN event_id % 17 = 0 THEN '{"k": "abc"}'
+              ELSE props END AS props
+  FROM events),
+x AS (
+  SELECT event_id, props,
+         json_valid(props) AS v,
+         CASE WHEN json_valid(props)
+              THEN json_extract_string(props, '$.k') END AS k
+  FROM s)
+SELECT * FROM (
+  SELECT '$.events_js[' || CAST(event_id AS VARCHAR) || '].props' AS jsonpath,
+         'type' AS type,
+         'value is not a JSON object' AS message,
+         props AS instance,
+         'props.jsonSchema.type' AS "check",
+         'props' AS "column",
+         CAST(event_id AS VARCHAR) AS row_key,
+         CAST(NULL AS VARCHAR) AS partition
+  FROM x WHERE props IS NOT NULL
+    AND NOT (v AND regexp_matches(props, '^\\s*\\{'))
+  UNION ALL
+  SELECT '$.events_js[' || CAST(event_id AS VARCHAR) || '].props',
+         'required',
+         'k is a required property',
+         props,
+         'props.jsonSchema.required.k',
+         'props',
+         CAST(event_id AS VARCHAR),
+         CAST(NULL AS VARCHAR)
+  FROM x WHERE props IS NOT NULL AND k IS NULL
+  UNION ALL
+  SELECT '$.events_js[' || CAST(event_id AS VARCHAR) || '].props',
+         'type',
+         'k is not of type ''integer''',
+         props,
+         'props.jsonSchema.properties.k.type',
+         'props',
+         CAST(event_id AS VARCHAR),
+         CAST(NULL AS VARCHAR)
+  FROM x WHERE props IS NOT NULL AND k IS NOT NULL
+    AND TRY_CAST(k AS BIGINT) IS NULL
+)
+ORDER BY jsonpath, type
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_profile_lineitem": q02_profile_lineitem,
@@ -1044,6 +1221,8 @@ QUERIES = {
     "q31_asof_join": q31_asof_join,
     "q32_tdigest_by_group": q32_tdigest_by_group,
     "q33_exact_dedup": q33_exact_dedup,
+    "q34_combinators": q34_combinators,
+    "q35_json_schema_constraint": q35_json_schema_constraint,
 }
 
 ORACLES = {
@@ -1074,6 +1253,8 @@ ORACLES = {
     "q30_json_props": Q30_SQL,
     "q31_asof_join": Q31_SQL,
     "q33_exact_dedup": Q33_SQL,
+    "q34_combinators": Q34_SQL,
+    "q35_json_schema_constraint": Q35_SQL,
     # q19-q22: non-SQL-expressible (MinHash/SimHash/LSH/mapInPandas) —
     # rows-only checks by design.
 }

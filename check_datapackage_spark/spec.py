@@ -80,6 +80,9 @@ class Constraints:
     maximum: Optional[Any] = None
     exclusive_minimum: Optional[Any] = None
     exclusive_maximum: Optional[Any] = None
+    min_items: Optional[int] = None
+    max_items: Optional[int] = None
+    unique_items: bool = False
     json_schema: Optional[dict] = dc_field(default=None, hash=False, compare=False)
 
     @classmethod
@@ -95,6 +98,9 @@ class Constraints:
             maximum=d.get("maximum"),
             exclusive_minimum=d.get("exclusiveMinimum"),
             exclusive_maximum=d.get("exclusiveMaximum"),
+            min_items=d.get("minItems"),
+            max_items=d.get("maxItems"),
+            unique_items=bool(d.get("uniqueItems", False)),
             json_schema=d.get("jsonSchema"),
         )
 
@@ -186,15 +192,29 @@ class TableSpec:
     foreign_keys: tuple[ForeignKeySpec, ...] = ()
     missing_values: tuple[str, ...] = ("",)
     partition_by: tuple[str, ...] = ()
+    #: boolean combinators over column groups (GROUP_ERRORS, ref
+    #: constants.py:5; handling check.py:917-950). Each entry is a
+    #: tuple of column names: one_of ⇒ exactly one non-null per row,
+    #: any_of ⇒ at least one, all_of ⇒ all.
+    one_of: tuple[tuple[str, ...], ...] = ()
+    any_of: tuple[tuple[str, ...], ...] = ()
+    all_of: tuple[tuple[str, ...], ...] = ()
 
     @classmethod
     def from_dict(cls, d: dict[str, Any]) -> "TableSpec":
         """Parse a datapackage.json resource-shaped dict.
 
         Accepts either a resource dict (``{"name":…, "schema": {…}}``)
-        or a bare Table Schema dict (``{"fields": […]}``).
+        or a bare Table Schema dict (``{"fields": […]}``). The
+        ``oneOf``/``anyOf``/``allOf`` schema keys each take a list of
+        column-name lists (the table analog of the reference's
+        grouped-error combinators, e.g. resource path-vs-data oneOf).
         """
         schema = d.get("schema", d)
+
+        def _groups(key: str) -> tuple[tuple[str, ...], ...]:
+            return tuple(_as_str_tuple(g) for g in schema.get(key, []))
+
         return cls(
             name=d.get("name", "table"),
             fields=tuple(FieldSpec.from_dict(f) for f in schema.get("fields", [])),
@@ -207,6 +227,9 @@ class TableSpec:
             ),
             missing_values=tuple(schema.get("missingValues", [""])),
             partition_by=_as_str_tuple(d.get("partitionBy", ())),
+            one_of=_groups("oneOf"),
+            any_of=_groups("anyOf"),
+            all_of=_groups("allOf"),
         )
 
     def field_names(self) -> list[str]:

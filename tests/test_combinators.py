@@ -1,0 +1,262 @@
+"""Combinator (oneOf/anyOf/allOf) and declarative item-constraint tests.
+
+Reference semantics mirrored:
+* oneOf two failure surfaces — none present → ONE issue of type
+  "required" with the combined message (ref check.py:619-645
+  _handle_S_resources_x; tests/test_check.py:556-568), both present →
+  type "oneOf" (tests/test_check.py:624-628).
+* minItems — empty array → type "minItems"
+  (ref tests/test_check.py:646-664).
+* uniqueItems — duplicate values → type "uniqueItems"
+  (ref tests/test_check.py:758-768).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from check_datapackage_spark import TableSpec, check_table
+from check_datapackage_spark.compile import (
+    compile_all_of,
+    compile_all_of_required,
+    compile_any_of_required,
+    compile_one_of,
+    compile_one_of_required,
+    compile_table_checks,
+)
+
+
+@pytest.fixture(scope="module")
+def pd_df(spark):
+    """Rows covering all oneOf(path,data) states, pk id."""
+    rows = [
+        (1, "p1", None),  # exactly one → pass
+        (2, None, "d2"),  # exactly one → pass
+        (3, "p3", "d3"),  # both → oneOf
+        (4, None, None),  # none → required
+    ]
+    return spark.createDataFrame(rows, "id int, path string, data string").cache()
+
+
+def _violations(df, schema_dict):
+    res = check_table(df, TableSpec.from_dict(schema_dict))
+    return res.violations.collect()
+
+
+def test_oneof_both_present_flags_oneof(spark, pd_df):
+    rows = _violations(
+        pd_df,
+        {"name": "t", "schema": {"primaryKey": ["id"], "oneOf": [["path", "data"]]}},
+    )
+    by_key = {(r["row_key"], r["type"]): r for r in rows}
+    assert ("3", "oneOf") in by_key
+    assert by_key[("3", "oneOf")]["message"] == "must have exactly one of: `path`, `data`"
+    assert by_key[("3", "oneOf")]["jsonpath"] == "$.t[3]"
+
+
+def test_oneof_none_present_flags_single_required(spark, pd_df):
+    rows = _violations(
+        pd_df,
+        {"name": "t", "schema": {"primaryKey": ["id"], "oneOf": [["path", "data"]]}},
+    )
+    row4 = [r for r in rows if r["row_key"] == "4"]
+    # exactly ONE issue (not one per missing column) — ref
+    # test_fail_with_resource_name_path_and_data_missing groups them
+    assert len(row4) == 1
+    assert row4[0]["type"] == "required"
+    assert (
+        row4[0]["message"]
+        == "This row has no `path` or `data` field. One of them must be provided."
+    )
+
+
+def test_oneof_passing_rows_emit_nothing(spark, pd_df):
+    rows = _violations(
+        pd_df,
+        {"name": "t", "schema": {"primaryKey": ["id"], "oneOf": [["path", "data"]]}},
+    )
+    assert {r["row_key"] for r in rows} == {"3", "4"}
+
+
+def test_allof_flags_missing_any(spark, pd_df):
+    rows = _violations(
+        pd_df,
+        {"name": "t", "schema": {"primaryKey": ["id"], "allOf": [["path", "data"]]}},
+    )
+    assert {r["row_key"] for r in rows} == {"1", "2", "4"}
+    assert all(r["type"] == "allOf" for r in rows)
+    assert rows[0]["message"] == "must have all of: `path`, `data`"
+
+
+def test_anyof_flags_only_all_missing(spark, pd_df):
+    rows = _violations(
+        pd_df,
+        {"name": "t", "schema": {"primaryKey": ["id"], "anyOf": [["path", "data"]]}},
+    )
+    assert {r["row_key"] for r in rows} == {"4"}
+    assert rows[0]["type"] == "anyOf"
+
+
+def test_combinator_with_missing_column_is_skipped(spark, pd_df):
+    # schema known → combinator referencing an absent column is pruned
+    rows = _violations(
+        pd_df,
+        {"name": "t", "schema": {"primaryKey": ["id"], "oneOf": [["path", "nope"]]}},
+    )
+    assert rows == []
+
+
+def test_generic_predicate_combinators(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, 5), (2, 15), (3, 25)], "id int, v int"
+    )
+    one = compile_one_of("v.range", [F.col("v") < 10, F.col("v") > 20])
+    alln = compile_all_of("v.bounds", [F.col("v") > 0, F.col("v") < 20])
+    from check_datapackage_spark.plans.validation import violations_plan
+
+    v = violations_plan(df, [one, alln], "t", row_key="id").collect()
+    got = {(r["row_key"], r["type"]) for r in v}
+    # id=2: neither predicate holds → oneOf fails; id=3: >20 → oneOf ok,
+    # bounds allOf fails
+    assert got == {("2", "oneOf"), ("3", "allOf")}
+
+
+def test_compile_helpers_shapes():
+    one = compile_one_of_required(["a", "b"])
+    assert [c.issue_type for c in one] == ["required", "oneOf"]
+    assert one[0].name == "a|b.oneOf.required"
+    alln = compile_all_of_required(["a", "b"])
+    assert alln.issue_type == "allOf"
+    anyn = compile_any_of_required(["a", "b"])
+    assert anyn.message == "must have at least one of: `a`, `b`"
+
+
+# --- declarative item constraints (C8/C9) ----------------------------------
+
+
+@pytest.fixture(scope="module")
+def arr_df(spark):
+    rows = [
+        (1, [1, 2, 3]),
+        (2, []),
+        (3, [1, 1]),
+        (4, None),
+        (5, [1, 2, 3, 4, 5]),
+    ]
+    return spark.createDataFrame(rows, "id int, xs array<int>").cache()
+
+
+def _arr_spec(constraints):
+    return {
+        "name": "t",
+        "schema": {
+            "primaryKey": ["id"],
+            "fields": [{"name": "xs", "type": "array", "constraints": constraints}],
+        },
+    }
+
+
+def test_min_items_declarative(spark, arr_df):
+    rows = _violations(arr_df, _arr_spec({"minItems": 1}))
+    assert {(r["row_key"], r["type"]) for r in rows} == {("2", "minItems")}
+    assert rows[0]["message"] == "array has fewer items than the minimum of 1"
+    assert rows[0]["check"] == "xs.minItems"
+
+
+def test_max_items_declarative(spark, arr_df):
+    rows = _violations(arr_df, _arr_spec({"maxItems": 3}))
+    assert {(r["row_key"], r["type"]) for r in rows} == {("5", "maxItems")}
+
+
+def test_unique_items_declarative(spark, arr_df):
+    rows = _violations(arr_df, _arr_spec({"uniqueItems": True}))
+    assert {(r["row_key"], r["type"]) for r in rows} == {("3", "uniqueItems")}
+    assert rows[0]["message"] == "array items are not unique"
+
+
+def test_item_constraints_fuse_into_single_scan(spark):
+    """All three item constraints stay one scan (uncached input — a
+    cached fixture's InMemoryRelation embeds its build plan and would
+    double-count the scan)."""
+    arr_df = spark.createDataFrame([(1, [1, 2, 3])], "id int, xs array<int>")
+    spec = TableSpec.from_dict(
+        {
+            "name": "t",
+            "schema": {
+                "primaryKey": ["id"],
+                "fields": [
+                    {
+                        "name": "xs",
+                        "type": "array",
+                        "constraints": {
+                            "minItems": 1,
+                            "maxItems": 3,
+                            "uniqueItems": True,
+                        },
+                    }
+                ],
+            },
+        }
+    )
+    checks = compile_table_checks(spec, schema=arr_df.schema)
+    from check_datapackage_spark.plans.validation import violations_plan
+
+    plan = violations_plan(
+        arr_df, checks, "t", row_key="id"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan ") <= 1
+
+
+# --- jsonSchema nested constraint (C10) -------------------------------------
+
+
+@pytest.fixture(scope="module")
+def js_df(spark):
+    rows = [
+        (1, '{"k": 7}'),  # pass
+        (2, '{"j": 1}'),  # missing k
+        (3, '{"k": "abc"}'),  # k wrong type
+        (4, "[1, 2]"),  # not an object
+        (5, "{nope"),  # invalid JSON
+        (6, None),  # null passes (required owns nulls)
+    ]
+    return spark.createDataFrame(rows, "id int, props string").cache()
+
+
+def test_json_schema_constraint(spark, js_df):
+    rows = _violations(
+        js_df,
+        {
+            "name": "t",
+            "schema": {
+                "primaryKey": ["id"],
+                "fields": [
+                    {
+                        "name": "props",
+                        "type": "string",
+                        "constraints": {
+                            "jsonSchema": {
+                                "type": "object",
+                                "required": ["k"],
+                                "properties": {"k": {"type": "integer"}},
+                            }
+                        },
+                    }
+                ],
+            },
+        },
+    )
+    got = {(r["row_key"], r["check"]) for r in rows}
+    assert got == {
+        ("2", "props.jsonSchema.required.k"),
+        ("3", "props.jsonSchema.properties.k.type"),
+        ("4", "props.jsonSchema.type"),
+        ("4", "props.jsonSchema.required.k"),
+        ("5", "props.jsonSchema.type"),
+        ("5", "props.jsonSchema.required.k"),
+    }
+    types = {r["check"]: r["type"] for r in rows}
+    assert types["props.jsonSchema.required.k"] == "required"
+    assert types["props.jsonSchema.properties.k.type"] == "type"
