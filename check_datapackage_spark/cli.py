@@ -21,22 +21,53 @@ from .issue import DataPackageError, explain
 from .plans.validation import check_table
 from .session import get_spark
 from .sources.registry import load_table, read_spec, write_violations
-from .spec import CheckConfig, Exclusion
+from .spec import (
+    SEMVER_PATTERN,
+    STRICT_NAME_PATTERN,
+    CheckConfig,
+    Exclusion,
+    strict_spec_issues,
+)
 
 
 def strictify(spec):
-    """Strict profile (ref _set_should_fields_to_required,
-    check.py:516-538): promote every declared field to required and add
-    the reference's strict name pattern when a ``name`` field exists."""
+    """Strict profile — the full reference rule set
+    (ref _set_should_fields_to_required, check.py:516-538):
+
+    * every declared field promoted to required (SHOULD → REQUIRED)
+    * ``name`` field: strict name pattern
+    * ``version`` field: semver pattern (ref check.py:522-527)
+    * ``contributors`` / ``sources`` fields: every item must have a
+      ``title`` (ref check.py:533-534) — compiled via the jsonSchema
+      ``items.required`` constraint, which routes on the physical type
+      (array<struct> forall / JSON-string from_json)
+    * the table name itself must match the strict name pattern (ref
+      resources/items name pattern, check.py:535-537) — surfaced as a
+      spec-level issue via :func:`~.spec.strict_spec_issues`, which
+      check_table applies whenever ``config.strict`` is set.
+    """
     from dataclasses import replace
 
     fields = []
     for f in spec.fields:
         c = f.constraints
         if f.name == "name" and c.pattern is None:
-            c = replace(c, pattern=r"^[a-z0-9._-]+$")  # ref check.py:518-527
+            c = replace(c, pattern=STRICT_NAME_PATTERN)
+        if f.name == "version" and c.pattern is None:
+            c = replace(c, pattern=SEMVER_PATTERN)
+        if f.name in ("contributors", "sources"):
+            js = dict(c.json_schema or {})
+            items = dict(js.get("items") or {})
+            req = list(items.get("required") or [])
+            if "title" not in req:
+                req.append("title")
+            items["required"] = req
+            js["items"] = items
+            c = replace(c, json_schema=js)
         fields.append(replace(f, constraints=replace(c, required=True)))
     return replace(spec, fields=tuple(fields))
+
+
 
 
 #: ref CUSTOM_CHECKS_CONFIG_ERROR (cli.py:20-23): CustomCheck requires a
@@ -77,7 +108,11 @@ def load_toml_config(path: str = ".cdp.toml") -> dict:
         from .extensions import RequiredCheck
 
         out["extensions"] = tuple(
-            RequiredCheck(column=rc["column"], message=rc.get("message"))
+            RequiredCheck(
+                column=rc.get("column"),
+                jsonpath=rc.get("jsonpath"),
+                message=rc.get("message"),
+            )
             for rc in ext["required_checks"]
         )
     return out
@@ -129,12 +164,14 @@ def main(argv=None) -> int:
             extensions=toml_cfg.get("extensions", ()),
             max_examples_per_check=args.max_examples,
         )
+        df = load_table(spark, args.data, args.table)
         extra = None
         if config.extensions:
             from .extensions import compile_extensions
 
-            extra = compile_extensions(config.extensions)
-        df = load_table(spark, args.data, args.table)
+            # schema-aware: jsonpath RequiredChecks expand their
+            # wildcard/union/descent targets against the table schema
+            extra = compile_extensions(config.extensions, schema=df.schema)
         dims = {d: load_table(spark, args.data, d) for d in args.dims}
 
         if args.resume_ledger:

@@ -213,21 +213,28 @@ def compile_field_checks(
     # C10 nested jsonSchema constraint on object/array fields
     # (ref schema supports jsonSchema per SURVEY §1.4).
     if c.json_schema:
-        checks.extend(compile_json_schema_checks(field))
+        checks.extend(compile_json_schema_checks(field, actual_type=actual_type))
 
     return checks
 
 
-def compile_json_schema_checks(field: FieldSpec) -> list[CompiledCheck]:
-    """Compile ``constraints.jsonSchema`` for a JSON-string column —
-    minimal jsonschema subset: top-level ``type`` (object/array),
-    ``required`` property names, and per-property ``type`` under
-    ``properties`` (string/number/integer/boolean).
+def compile_json_schema_checks(
+    field: FieldSpec, actual_type: Optional[str] = None
+) -> list[CompiledCheck]:
+    """Compile ``constraints.jsonSchema`` — minimal jsonschema subset:
+    top-level ``type`` (object/array), ``required`` property names,
+    per-property ``type`` under ``properties``
+    (string/number/integer/boolean), and ``items.required`` for arrays
+    of objects (the strict-mode contributors/sources item-``title``
+    rule, ref check.py:533-534).
 
     All predicates are built-in JSON expressions (``try_parse_json``
     validity + ``get_json_object`` extraction) — JVM-side, no UDF, so
     the checks fuse into the single-scan violations plan like every
-    other constraint.
+    other constraint. ``items.required`` routes on the physical type:
+    a native ``array<struct>`` column is checked with ``forall``
+    directly; a JSON-string column is parsed once with ``from_json``
+    against a partial struct schema (unknown fields are skipped).
     """
     js = field.constraints.json_schema or {}
     col = F.col(field.name)
@@ -291,6 +298,24 @@ def compile_json_schema_checks(field: FieldSpec) -> list[CompiledCheck]:
             f"{prop} is not of type '{pt}'",
             col.isNull() | v.isNull() | _type_ok[pt](v),
         )
+
+    items_required = (js.get("items") or {}).get("required", [])
+    if items_required:
+        if actual_type == "array":
+            arr: Column = col
+            parsed_ok = col.isNotNull()
+        else:
+            struct_fields = ",".join(f"{p}:string" for p in items_required)
+            arr = F.from_json(col, f"array<struct<{struct_fields}>>")
+            parsed_ok = arr.isNotNull()  # PERMISSIVE: malformed → null
+        for prop in items_required:
+            add(
+                f"items.required.{prop}",
+                "required",
+                f"{prop} is a required property of every item",
+                col.isNull()
+                | (parsed_ok & F.forall(arr, lambda x: x[prop].isNotNull())),
+            )
     return checks
 
 

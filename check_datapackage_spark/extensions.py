@@ -70,15 +70,344 @@ class CustomCheck:
         )
 
 
+# --- RequiredCheck jsonpath target derivation -------------------------------
+#
+# Mirrors ref extensions.py:109-138 (_jsonpath_to_targets) +
+# tests/test_extensions.py:120-240: wildcard (`$.*.id`), array wildcard
+# (`$.contributors[*].name`), name unions (`$['a','b']`), path unions
+# (`$.a | $.b`), non-final recursive descent (`$..licenses[*].title`).
+# Paths are validated at CONSTRUCTION time (ValueError parity): the
+# final segment must be a plain name selector — paths ending in `..x`,
+# a wildcard, or an index raise, as does the `&` intersection operator.
+
+
+def _parse_jsonpath_segments(path: str) -> list[list[tuple]]:
+    """Parse a RequiredCheck jsonpath into path alternatives (split on
+    top-level ``|``), each a list of segment tuples:
+    ``("name", [names])``, ``("wild",)``, ``("wild_arr",)``,
+    ``("index", i)``, ``("desc", name)``.
+    """
+    if "&" in path:
+        raise ValueError(
+            f"Cannot use the JSON path `{path}` in `RequiredCheck`: the "
+            "`&` intersection operator is not supported."
+        )
+    alts = []
+    depth = 0
+    start = 0
+    for i, ch in enumerate(path):
+        if ch == "[":
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+        elif ch == "|" and depth == 0:
+            alts.append(path[start:i].strip())
+            start = i + 1
+    alts.append(path[start:].strip())
+
+    out = []
+    for alt in alts:
+        if not alt.startswith("$"):
+            raise ValueError(
+                f"Cannot use the JSON path `{alt}` in `RequiredCheck`: "
+                "paths must start at the root (`$`)."
+            )
+        s = alt[1:]
+        segs: list[tuple] = []
+        i = 0
+        n = len(s)
+        while i < n:
+            if s.startswith("..", i):
+                j = i + 2
+                name = []
+                while j < n and (s[j].isalnum() or s[j] in "_-"):
+                    name.append(s[j])
+                    j += 1
+                if not name:
+                    raise ValueError(
+                        f"Cannot use the JSON path `{alt}` in "
+                        "`RequiredCheck`: bare recursive descent."
+                    )
+                segs.append(("desc", "".join(name)))
+                i = j
+            elif s[i] == ".":
+                j = i + 1
+                if j < n and s[j] == "*":
+                    segs.append(("wild",))
+                    i = j + 1
+                    continue
+                name = []
+                while j < n and (s[j].isalnum() or s[j] in "_-"):
+                    name.append(s[j])
+                    j += 1
+                if not name:
+                    raise ValueError(
+                        f"Cannot use the JSON path `{alt}` in "
+                        "`RequiredCheck`: empty name selector."
+                    )
+                segs.append(("name", ["".join(name)]))
+                i = j
+            elif s[i] == "[":
+                j = s.find("]", i)
+                if j < 0:
+                    raise ValueError(
+                        f"Cannot use the JSON path `{alt}` in "
+                        "`RequiredCheck`: unbalanced brackets."
+                    )
+                inner = s[i + 1 : j].strip()
+                if inner == "*":
+                    segs.append(("wild_arr",))
+                elif inner.lstrip("-").isdigit():
+                    segs.append(("index", int(inner)))
+                else:
+                    names = []
+                    for part in inner.split(","):
+                        part = part.strip()
+                        if (
+                            len(part) >= 2
+                            and part[0] in "'\""
+                            and part[-1] == part[0]
+                        ):
+                            names.append(part[1:-1])
+                        else:
+                            raise ValueError(
+                                f"Cannot use the JSON path `{alt}` in "
+                                f"`RequiredCheck`: bad selector `{part}`."
+                            )
+                    segs.append(("name", names))
+                i = j + 1
+            else:
+                raise ValueError(
+                    f"Cannot use the JSON path `{alt}` in `RequiredCheck`: "
+                    f"unexpected character {s[i]!r}."
+                )
+        if segs:
+            last = segs[-1]
+            if last[0] == "desc":
+                raise ValueError(
+                    f"Cannot use the JSON path `{alt}` in `RequiredCheck`"
+                    " because it ends in the recursive descent (`..`)"
+                    " operator."
+                )
+            if last[0] != "name":
+                raise ValueError(
+                    f"Cannot use `RequiredCheck` for the JSON path `{alt}`"
+                    " because it doesn't end in a name selector."
+                )
+        out.append(segs)
+    return out
+
+
+@dataclass(frozen=True)
+class _Target:
+    """A resolved RequiredCheck target: leaf expression + addressing."""
+
+    ok: object  # Column
+    path: str  # dotted display path
+    root_col: str  # top-level DataFrame column the target lives under
+
+
+def _struct_children(dtype) -> dict:
+    if dtype.typeName() == "struct":
+        return {f.name: f.dataType for f in dtype.fields}
+    return {}
+
+
+def _resolve_targets(schema, segments: list[tuple], path_so_far: str = "$"):
+    """Expand one parsed path against a DataFrame StructType.
+
+    A candidate is (expr, dtype, path, root, item_fn, arr) — ``item_fn``
+    is set once the path crossed an ``[*]`` array segment (leaf checks
+    then run under ``forall``); a second array crossing raises.
+    Unmatched names drop silently (a jsonpath that matches nothing is
+    not an error — ref `$` root test).
+    """
+    from pyspark.sql.types import StructType
+
+    # candidate: dict(expr, dtype, path, root, in_arr, item_fn, arr_expr, guard)
+    cands = [
+        {
+            "expr": None,  # None = row root
+            "dtype": schema,
+            "path": "$",
+            "root": None,
+            "in_arr": False,
+            "item_fn": None,
+            "arr": None,
+        }
+    ]
+
+    def descend_name(c, name):
+        ch = _struct_children(c["dtype"])
+        if name not in ch:
+            return None
+        nd = ch[name]
+        n = dict(c)
+        n["dtype"] = nd
+        n["path"] = f"{c['path']}.{name}"
+        if c["root"] is None:
+            n["root"] = name
+        if c["in_arr"]:
+            prev = c["item_fn"]
+            n["item_fn"] = (lambda p: (lambda x: p(x)[name]))(prev)
+        else:
+            n["expr"] = F.col(name) if c["expr"] is None else c["expr"][name]
+        return n
+
+    def enter_array(c):
+        dt = c["dtype"]
+        if dt.typeName() != "array":
+            return None
+        if c["in_arr"]:
+            raise ExtensionError(
+                f"RequiredCheck path `{c['path']}[*]` crosses two array "
+                "levels — not supported; target the inner array directly."
+            )
+        n = dict(c)
+        n["dtype"] = dt.elementType
+        n["path"] = f"{c['path']}[*]"
+        n["in_arr"] = True
+        n["arr"] = c["expr"]
+        n["item_fn"] = lambda x: x
+        return n
+
+    def desc_all(c, name, acc):
+        """All fields named ``name`` reachable via struct/array descent."""
+        hit = descend_name(c, name)
+        if hit is not None:
+            acc.append(hit)
+        for ch_name in _struct_children(c["dtype"]):
+            nxt = descend_name(c, ch_name)
+            if nxt is None:
+                continue
+            if nxt["dtype"].typeName() == "array":
+                try:
+                    inner = enter_array(nxt)
+                except ExtensionError:
+                    continue
+                if inner is not None and isinstance(
+                    inner["dtype"], StructType
+                ):
+                    desc_all(inner, name, acc)
+            elif isinstance(nxt["dtype"], StructType):
+                desc_all(nxt, name, acc)
+        return acc
+
+    for seg in segments:
+        new = []
+        for c in cands:
+            if seg[0] == "name":
+                for nm in seg[1]:
+                    # auto-enter a single array layer so `$.a.b` over
+                    # array<struct> behaves like `$.a[*].b`; explicit
+                    # [*] stays the documented form
+                    t = descend_name(c, nm)
+                    if t is None and c["dtype"].typeName() == "array":
+                        inner = enter_array(c)
+                        if inner is not None:
+                            t = descend_name(inner, nm)
+                    if t is not None:
+                        new.append(t)
+            elif seg[0] == "wild":
+                for nm in _struct_children(c["dtype"]):
+                    t = descend_name(c, nm)
+                    if t is not None:
+                        new.append(t)
+            elif seg[0] == "wild_arr":
+                t = enter_array(c)
+                if t is not None:
+                    new.append(t)
+            elif seg[0] == "index":
+                if c["dtype"].typeName() == "array" and not c["in_arr"]:
+                    n = dict(c)
+                    n["dtype"] = c["dtype"].elementType
+                    n["path"] = f"{c['path']}[{seg[1]}]"
+                    n["expr"] = c["expr"].getItem(seg[1])
+                    new.append(n)
+            elif seg[0] == "desc":
+                desc_all(c, seg[1], new)
+        cands = new
+
+    targets = []
+    for c in cands:
+        if c["root"] is None:
+            continue  # `$` alone — matches nothing actionable
+        if c["in_arr"]:
+            arr, leaf = c["arr"], c["item_fn"]
+            # NB: bind `leaf` via a factory, not a lambda default —
+            # Spark's higher-order functions introspect the lambda's
+            # parameter count and would pass a Column for the default.
+            item_pred = (lambda _leaf: lambda x: x.isNull() | _leaf(x).isNotNull())(
+                leaf
+            )
+            ok = arr.isNull() | F.forall(arr, item_pred)
+        else:
+            ok = c["expr"].isNotNull()
+            # nested target: an absent (null) parent means the path
+            # matches nothing ⇒ pass (ref: unmatched paths are no-ops);
+            # guarding the immediate parent suffices because a null
+            # higher up nulls the parent too
+            parent_path = c["path"].rsplit(".", 1)[0].removeprefix("$.")
+            if parent_path and parent_path != "$" and "[" not in parent_path:
+                parent_expr = _expr_for_dotted(parent_path)
+                if parent_expr is not None:
+                    ok = parent_expr.isNull() | ok
+        targets.append(
+            _Target(ok=ok, path=c["path"], root_col=c["root"])
+        )
+    return targets
+
+
+def _expr_for_dotted(dotted: str):
+    if not dotted or dotted == "$":
+        return None
+    parts = [p for p in dotted.replace("[*]", "").split(".") if p]
+    if not parts:
+        return None
+    e = F.col(parts[0])
+    for p in parts[1:]:
+        e = e[p]
+    return e
+
+
 @dataclass(frozen=True)
 class RequiredCheck:
-    """Make a column (possibly nested, dotted path) required
-    (ref extensions.py:141-211)."""
+    """Make a column required (ref extensions.py:141-211).
 
-    column: str
+    Two surfaces:
+    * ``column`` — a plain (possibly dotted) column path, the simple
+      case.
+    * ``jsonpath`` — full target derivation against the DataFrame
+      schema: wildcards (``$.*.id``), array wildcards
+      (``$.contributors[*].name`` → ``forall`` per-item requirement),
+      name unions (``$['licenses','sources']``), path unions
+      (``$.a | $.b``), and non-final recursive descent
+      (``$..licenses[*].title``). Invalid/ambiguous paths raise
+      ``ValueError`` at construction exactly like the reference
+      (ends-in-``..``, ends-in-wildcard, ``&`` operator).
+
+    ``compile_all(schema)`` returns one CompiledCheck per resolved
+    target; ``compile()`` keeps the single-column fast path.
+    """
+
+    column: Optional[str] = None
     message: Optional[str] = None
+    jsonpath: Optional[str] = None
+
+    def __post_init__(self) -> None:
+        if (self.column is None) == (self.jsonpath is None):
+            raise ExtensionError(
+                "RequiredCheck needs exactly one of `column` or `jsonpath`."
+            )
+        if self.jsonpath is not None:
+            _parse_jsonpath_segments(self.jsonpath)  # ValueError parity
 
     def compile(self) -> CompiledCheck:
+        if self.column is None:
+            raise ExtensionError(
+                "jsonpath RequiredCheck needs the DataFrame schema — "
+                "use compile_all(schema) (check_table does this)."
+            )
         col = F.col(self.column)
         return CompiledCheck(
             name=f"{self.column}.required.ext",
@@ -89,13 +418,43 @@ class RequiredCheck:
             instance=col.cast("string"),
         )
 
+    def compile_all(self, schema=None) -> list[CompiledCheck]:
+        if self.column is not None:
+            return [self.compile()]
+        if schema is None:
+            raise ExtensionError(
+                "jsonpath RequiredCheck requires a schema to derive targets."
+            )
+        checks = []
+        for alt in _parse_jsonpath_segments(self.jsonpath):
+            for t in _resolve_targets(schema, alt):
+                display = t.path.removeprefix("$.")
+                checks.append(
+                    CompiledCheck(
+                        name=f"{display}.required.ext",
+                        column=t.root_col,
+                        issue_type="required",
+                        message=self.message
+                        or f"{display} is a required property",
+                        ok=t.ok,
+                        instance=F.lit(None).cast("string"),
+                    )
+                )
+        return checks
 
-def compile_extensions(extensions) -> list[CompiledCheck]:
+
+def compile_extensions(extensions, schema=None) -> list[CompiledCheck]:
     """Concat required + custom checks (ref apply_extensions,
-    extensions.py:264-283) into compiled checks for the fused plan."""
+    extensions.py:264-283) into compiled checks for the fused plan.
+
+    ``schema`` (the target DataFrame's StructType) is needed whenever a
+    RequiredCheck uses jsonpath targets — wildcard/union/descent paths
+    expand against the physical schema."""
     out: list[CompiledCheck] = []
     for ext in extensions or ():
-        if hasattr(ext, "compile"):
+        if hasattr(ext, "compile_all"):
+            out.extend(ext.compile_all(schema))
+        elif hasattr(ext, "compile"):
             out.append(ext.compile())
         else:
             raise ExtensionError(f"not an extension: {ext!r}")

@@ -342,10 +342,20 @@ def check_table(
 
     spec_issues = list(validate_spec(spec))
     spec_issues.extend(schema_conforms(df, spec))
+    if config.strict:
+        from ..spec import strict_spec_issues
+
+        spec_issues.extend(strict_spec_issues(spec))
 
     checks = compile_table_checks(spec, extra=extra_checks, schema=df.schema)
     actual_cols = set(df.columns)
-    runnable = [c for c in checks if c.column is None or c.column in actual_cols]
+    # dotted column paths (nested RequiredCheck targets) are runnable
+    # when their ROOT column exists
+    runnable = [
+        c
+        for c in checks
+        if c.column is None or c.column.split(".", 1)[0] in actual_cols
+    ]
     pk_present = [k for k in spec.primary_key if k in actual_cols]
     row_key: Optional[Union[str, list]]
     if len(pk_present) == 1:

@@ -61,6 +61,40 @@ STRING_FORMATS = {"default", "email", "uri", "binary", "uuid"}
 #: Error-group keywords (ref constants.py:5).
 GROUP_ERRORS = ["oneOf", "anyOf", "allOf"]
 
+#: ref check.py:519 — strict name pattern (package and resource names).
+STRICT_NAME_PATTERN = r"^[a-z0-9._-]+$"
+
+#: ref check.py:522-527 — the suggested semver regex from semver.org,
+#: applied to `version` under strict mode (named groups dropped: Spark's
+#: rlike uses Java regex where (?P<name>) is invalid syntax).
+SEMVER_PATTERN = (
+    r"^(0|[1-9]\d*)\.(0|[1-9]\d*)\.(0|[1-9]\d*)"
+    r"(?:-((?:0|[1-9]\d*|\d*[a-zA-Z-][0-9a-zA-Z-]*)(?:\.(?:0"
+    r"|[1-9]\d*|\d*[a-zA-Z-][0-9a-zA-Z-]*))*))?(?:\+("
+    r"[0-9a-zA-Z-]+(?:\.[0-9a-zA-Z-]+)*))?$"
+)
+
+
+def strict_spec_issues(spec) -> list:
+    """Spec-level strict checks: the table (resource) name must match
+    the strict name pattern (ref resources/items name pattern,
+    check.py:535-537; tests/test_check.py:446-496). Applied by
+    check_table whenever ``config.strict`` is set."""
+    import re as _re
+
+    from .issue import Issue
+
+    if _re.fullmatch(STRICT_NAME_PATTERN, spec.name):
+        return []
+    return [
+        Issue(
+            jsonpath=f"$.{spec.name}.name",
+            type="pattern",
+            message=f"'{spec.name}' does not match '{STRICT_NAME_PATTERN}'",
+            instance=spec.name,
+        )
+    ]
+
 
 @dataclass(frozen=True)
 class Constraints:
