@@ -18,6 +18,7 @@ from .issue import (
     VIOLATION_FULL_SCHEMA,
     VIOLATION_SCHEMA,
     explain,
+    pretty_print,
     finalize_issues,
     finalize_violations,
 )
@@ -88,6 +89,7 @@ __all__ = [
     "compile_table_checks",
     "exclusion_filter",
     "explain",
+    "pretty_print",
     "finalize_issues",
     "finalize_violations",
     "schema_conforms",

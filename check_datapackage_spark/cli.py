@@ -96,6 +96,8 @@ def load_toml_config(path: str = ".cdp.toml") -> dict:
     out: dict = {}
     if "strict" in doc:
         out["strict"] = bool(doc["strict"])
+    if "version" in doc:
+        out["version"] = str(doc["version"])
     if "exclusions" in doc:
         out["exclusions"] = tuple(
             Exclusion(jsonpath=e.get("jsonpath"), type=e.get("type"))
@@ -127,6 +129,17 @@ def main(argv=None) -> int:
     p.add_argument("--dims", nargs="*", default=[], help="dimension tables to load")
     p.add_argument("--audit", default=None, help="violations sink path")
     p.add_argument("--strict", action="store_true")
+    p.add_argument(
+        "--allow-remote",
+        action="store_true",
+        help="permit https:/github: spec sources (driver-side urllib fetch)",
+    )
+    p.add_argument(
+        "--spec-version",
+        choices=["v1", "v2"],
+        default="v2",
+        help="Data Package standard version to validate against",
+    )
     p.add_argument("--error", action="store_true")
     p.add_argument("--exclude-type", nargs="*", default=[])
     p.add_argument("--exclude-jsonpath", nargs="*", default=[])
@@ -150,12 +163,17 @@ def main(argv=None) -> int:
 
     spark = get_spark("cdp-cli", cores=args.cores)
     try:
-        spec = read_spec(args.spec, resource=args.resource or args.table)
+        spec = read_spec(
+            args.spec,
+            resource=args.resource or args.table,
+            allow_remote=args.allow_remote,
+        )
         strict = args.strict or toml_cfg.get("strict", False)
         if strict:
             spec = strictify(spec)
         config = CheckConfig(
             strict=strict,
+            version=toml_cfg.get("version", args.spec_version),
             exclusions=tuple(
                 [Exclusion(type=t) for t in args.exclude_type]
                 + [Exclusion(jsonpath=j) for j in args.exclude_jsonpath]

@@ -128,11 +128,62 @@ class DataPackageError(Exception):
 
 
 def explain(issues: list[Issue]) -> str:
-    """Human report (ref check.py:172-214): header + one line per issue."""
-    n = len(issues)
-    header = f"{n} issue(s) were found in your data.\n"
-    lines = []
-    for issue in issues:
-        inst = "<MISSING>" if isinstance(issue.instance, MissingValue) else issue.instance
-        lines.append(f"  {issue.jsonpath} [{issue.type}]: {issue.message} (value: {inst!r})")
-    return header + "\n".join(lines)
+    """Human report (ref check.py:172-214): header + per-issue snippet
+    with the property underlined by carets at its PARENT path — exact
+    rendering parity with the reference (tests/test_check.py:66-97:
+    'At top level:' / 'At resources[0]:' display, '| name: <value>'
+    line, '^'-underline sized to the instance text)."""
+    explanations = [_create_explanation(i) for i in issues]
+    n = len(explanations)
+    singular_or_plural = " was" if n == 1 else "s were"
+    return (
+        f"{n} issue{singular_or_plural} found in your [u]data[/u]:\n\n"
+        + "\n".join(explanations)
+    )
+
+
+def _create_explanation(issue: Issue) -> str:
+    """One issue → caret-underlined snippet (ref check.py:217-233)."""
+    display_jsonpath, property_name = _display_jsonpath_and_property(issue)
+    if not property_name:
+        return (
+            "check() requires a dictionary with metadata,"
+            f" but received {issue.instance}."
+        )
+    number_of_carets = len(str(issue.instance))
+    return (
+        f"At {display_jsonpath}:\n"
+        "|\n"
+        f"| {property_name}{': ' if property_name else '  '}{issue.instance}\n"
+        f"| {' ' * len(property_name)}  [red]{'^' * number_of_carets}[/red]\n"
+        f"{issue.message}\n"
+    )
+
+
+def _display_jsonpath_and_property(issue: Issue) -> tuple[str, str]:
+    """Split the issue address into (parent display path, property) —
+    ref check.py:237-247; '$' alone → ('top level', '')."""
+    if issue.jsonpath == "$":
+        return "top level", ""
+    parent_jsonpath, property_name = issue.jsonpath.rsplit(".", maxsplit=1)
+    return _display_jsonpath(parent_jsonpath), property_name
+
+
+def _display_jsonpath(jsonpath: str) -> str:
+    if jsonpath == "$":
+        return "top level"
+    return jsonpath.removeprefix("$.")
+
+
+def pretty_print(obj) -> None:
+    """Render an explain() report with rich markup (ref __init__.py:3
+    re-exports ``rich.print``); falls back to stripping the [red]/[u]
+    tags when rich isn't installed."""
+    try:
+        from rich import print as _rich_print
+
+        _rich_print(obj)
+    except ImportError:
+        import re as _re
+
+        print(_re.sub(r"\[/?(?:red|u)\]", "", str(obj)))

@@ -340,7 +340,7 @@ def check_table(
     config = config or CheckConfig()
     dims = dims or {}
 
-    spec_issues = list(validate_spec(spec))
+    spec_issues = list(validate_spec(spec, version=config.version))
     spec_issues.extend(schema_conforms(df, spec))
     if config.strict:
         from ..spec import strict_spec_issues

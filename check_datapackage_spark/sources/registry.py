@@ -77,20 +77,31 @@ def parse_source(source: str) -> str:
     return source
 
 
-def read_spec(source: str, resource: Optional[str] = None) -> TableSpec:
+def read_spec(
+    source: str, resource: Optional[str] = None, allow_remote: bool = False
+) -> TableSpec:
     """Load a TableSpec from a datapackage.json-shaped document.
 
-    Local files only in the sandbox; https/github addresses raise with
-    a clear message rather than fetching silently.
+    ``allow_remote=True`` fetches https/github addresses driver-side
+    with stdlib urllib (ref cli.py:64-69 production parity); the default
+    refuses remote addresses with a clear message — this sandbox is
+    offline, and implicit network fetches shouldn't be a surprise.
     """
     address = parse_source(source)
     if address.startswith(("http://", "https://")):
-        raise NotImplementedError(
-            "remote spec fetch is driver-side urllib in production; "
-            "offline in this environment"
-        )
-    with open(address) as f:
-        doc = json.load(f)
+        if not allow_remote:
+            raise NotImplementedError(
+                "remote spec fetch is disabled by default; pass "
+                "allow_remote=True (CLI: --allow-remote) to fetch "
+                f"{address} with urllib"
+            )
+        import urllib.request
+
+        with urllib.request.urlopen(address, timeout=30) as resp:
+            doc = json.loads(resp.read().decode("utf-8"))
+    else:
+        with open(address) as f:
+            doc = json.load(f)
     resources = doc.get("resources", [doc])
     if resource is not None:
         for r in resources:

@@ -329,6 +329,9 @@ class CheckConfig:
     """
 
     strict: bool = False
+    #: Data Package standard version to validate against (ref
+    #: config.py:53 ``Literal["v1","v2"]``). v1 predates ``uniqueKeys``
+    #: (a v2 addition) — declaring them under v1 is a spec issue.
     version: str = "v2"
     exclusions: tuple[Exclusion, ...] = ()
     extensions: tuple = ()
@@ -336,13 +339,19 @@ class CheckConfig:
     #: summaries are always complete (SURVEY §4 short-circuit note).
     max_examples_per_check: Optional[int] = None
 
+    def __post_init__(self) -> None:
+        if self.version not in ("v1", "v2"):
+            raise ValueError(
+                f"version must be 'v1' or 'v2', got {self.version!r}"
+            )
+
 
 # ---------------------------------------------------------------------------
 # Spec-level validation (the reference's own job, reproduced on the driver)
 # ---------------------------------------------------------------------------
 
 
-def validate_spec(spec: TableSpec) -> list:
+def validate_spec(spec: TableSpec, version: str = "v2") -> list:
     """Validate a TableSpec the way the reference validates a descriptor.
 
     Driver-side only, returns a list of :class:`~.issue.Issue`. Covers the
@@ -353,12 +362,28 @@ def validate_spec(spec: TableSpec) -> list:
     (``_check_fk_source_fields`` check.py:413-447), FK destination
     fields (``check.py:450-513``), and constraint applicability per type
     (SURVEY §1.4 vocabulary).
+
+    ``version`` selects the standard vocabulary (ref config.py:53):
+    under ``"v1"`` the v2-only ``uniqueKeys`` property is flagged.
     """
     from .issue import Issue, finalize_issues
 
     issues: list[Issue] = []
     names = spec.field_names()
     root = f"$.{spec.name}.schema"
+
+    if version == "v1" and spec.unique_keys:
+        issues.append(
+            Issue(
+                jsonpath=f"{root}.uniqueKeys",
+                type="additionalProperties",
+                message=(
+                    "`uniqueKeys` is a Data Package v2 property and is "
+                    "not allowed under version 'v1'"
+                ),
+                instance=[list(k) for k in spec.unique_keys],
+            )
+        )
 
     for i, f in enumerate(spec.fields):
         fpath = f"{root}.fields[{i}]"

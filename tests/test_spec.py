@@ -7,6 +7,8 @@ existence, arity, string-or-list normalization, unknown field type.
 
 from __future__ import annotations
 
+import pytest
+
 from check_datapackage_spark import (
     FIELD_TYPES,
     FieldSpec,
@@ -170,8 +172,40 @@ def test_missing_singleton():
 
 def test_explain_renders():
     out = explain([Issue("$.a", "required", "a is required", instance=MISSING)])
-    assert "1 issue(s) were found" in out
-    assert "<MISSING>" in out
+    # exact reference rendering (ref check.py:205-233,
+    # tests/test_check.py:583-597): singular header, parent-path
+    # display, '| prop: value' snippet, caret underline sized to value
+    assert "1 issue was found" in out
+    assert "At top level:" in out
+    assert "| a: <MISSING>" in out
+    assert f"[red]{'^' * len('<MISSING>')}[/red]" in out
+    assert "a is required" in out
+
+
+def test_explain_nested_at_parent_path():
+    out = explain(
+        [Issue("$.orders[5].status", "enum", "bad value", instance="Z")]
+    )
+    assert "At orders[5]:" in out
+    assert "| status: Z" in out
+    assert "At orders[5].status:" not in out
+    assert "[red]^[/red]" in out
+
+
+def test_explain_plural_header():
+    issues = [
+        Issue("$.a", "required", "m1", instance=MISSING),
+        Issue("$.b", "required", "m2", instance=MISSING),
+    ]
+    assert "2 issues were found" in explain(issues)
+
+
+def test_pretty_print_strips_markup_without_rich(capsys):
+    from check_datapackage_spark.issue import pretty_print
+
+    pretty_print("x [red]^^[/red] [u]data[/u]")
+    got = capsys.readouterr().out
+    assert "[red]" not in got or "^^" in got
 
 
 def test_field_types_list_matches_reference():
@@ -181,3 +215,34 @@ def test_field_types_list_matches_reference():
         "year", "yearmonth", "boolean", "object", "geopoint", "geojson",
         "array", "duration", "any",
     ]
+
+
+def test_config_version_validates():
+    # ref config.py:53 Literal["v1","v2"]
+    from check_datapackage_spark.spec import CheckConfig
+
+    assert CheckConfig(version="v1").version == "v1"
+    with pytest.raises(ValueError):
+        CheckConfig(version="v3")
+
+
+def test_v1_flags_unique_keys():
+    from check_datapackage_spark.spec import TableSpec, validate_spec
+
+    spec = TableSpec.from_dict(
+        {"name": "t", "schema": {"fields": [{"name": "a"}], "uniqueKeys": [["a"]]}}
+    )
+    assert validate_spec(spec, version="v2") == []
+    v1 = validate_spec(spec, version="v1")
+    assert len(v1) == 1 and v1[0].type == "additionalProperties"
+    assert v1[0].jsonpath == "$.t.schema.uniqueKeys"
+
+
+def test_remote_spec_refused_without_flag(tmp_path):
+    from check_datapackage_spark.sources.registry import read_spec
+
+    with pytest.raises(NotImplementedError, match="allow_remote"):
+        read_spec("https://example.com/datapackage.json")
+    # gh: resolution goes through the same gate
+    with pytest.raises(NotImplementedError, match="allow_remote"):
+        read_spec("gh:org/repo@1.0.0")
