@@ -219,16 +219,79 @@ def lsh_topk(
     return cands.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
-def _ivf_assign_udf(dim: int, n_cells: int, n_probe: int = 1):
+def train_ivf_centroids(
+    df: DataFrame,
+    dim: int,
+    n_cells: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_n: int = 8192,
+    iters: int = 8,
+    seed: int = 20260817,
+):
+    """Sampled Lloyd k-means for the IVF coarse quantizer.
+
+    Training the quantizer on a SAMPLE is the standard IVF recipe at
+    scale (the quantizer needs representative geometry, not every
+    vector): one ``takeOrdered``-style pass pulls the first
+    ``sample_n`` vectors by id (deterministic across runs/partitionings),
+    Lloyd runs on the driver in numpy (sample_n×dim ≤ a few MB —
+    bounded, like the t-digest centroid merge), and only the
+    dim×n_cells centroid matrix ships back into the assign UDF. Real
+    (data-dependent) centroids fix the recall gap of random
+    hyperplanes: cells follow the data's density instead of slicing it
+    blindly. Empty cells are reseeded deterministically from the
+    farthest points. Returns a (dim, n_cells) float64 array of
+    L2-normalized centroids.
+    """
+    import numpy as np
+
+    rows = (
+        df.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(int(sample_n))
+        .select(vec_col)
+        .collect()
+    )
+    X = np.asarray([r[0] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(X, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    Xn = X / norms
+    rng = np.random.default_rng(seed)
+    k = min(n_cells, len(Xn))
+    cents = Xn[rng.choice(len(Xn), k, replace=False)].copy()
+    for _ in range(iters):
+        sims = Xn @ cents.T
+        assign = np.argmax(sims, axis=1)
+        for c in range(k):
+            members = Xn[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                cents[c] = m / n if n > 0 else cents[c]
+            else:
+                # reseed an empty cell with the worst-served point
+                worst = np.argmin(sims[np.arange(len(Xn)), assign])
+                cents[c] = Xn[worst]
+    if k < n_cells:  # tiny corpus: pad with wrap-around copies
+        cents = np.vstack([cents, cents[: n_cells - k]])
+    return cents.T  # (dim, n_cells)
+
+
+def _ivf_assign_udf(dim: int, n_cells: int, n_probe: int = 1, centroids=None):
     """Coarse quantizer: assign each vector to its top-``n_probe``
-    cells by dot product against a deterministic centroid matrix
-    (seeded Philox, normalized). Returns array<int> of cell ids."""
+    cells by dot product against the centroid matrix — trained
+    (:func:`train_ivf_centroids`) when given, else a deterministic
+    seeded-Philox fallback. Returns array<int> of cell ids."""
     import numpy as np
     from pyspark.sql import types as T
 
-    rng = np.random.default_rng(20260817)
-    cents = rng.standard_normal((dim, n_cells))
-    cents /= np.linalg.norm(cents, axis=0, keepdims=True)
+    if centroids is not None:
+        cents = np.asarray(centroids, dtype=np.float64)
+    else:
+        rng = np.random.default_rng(20260817)
+        cents = rng.standard_normal((dim, n_cells))
+        cents /= np.linalg.norm(cents, axis=0, keepdims=True)
 
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def assign(vecs: pd.Series) -> pd.Series:
@@ -249,20 +312,31 @@ def ivf_topk(
     vec_col: str = "embedding",
     n_cells: int = 64,
     n_probe: int = 8,
+    train: bool = False,
 ) -> DataFrame:
     """IVF-Flat approximate top-k (the scale path beside LSH).
 
     Corpus vectors are assigned to ONE inverted cell (their nearest
-    deterministic centroid); queries probe their ``n_probe`` nearest
-    cells; exact cosine runs only inside probed cells. At 10^12 vectors
-    the corpus is written bucketed by cell so a query touches
-    n_probe/n_cells of the data — here the cell id is a join key and
-    Catalyst/AQE handle cell-size skew.
+    centroid); queries probe their ``n_probe`` nearest cells; exact
+    cosine runs only inside probed cells. At 10^12 vectors the corpus
+    is written bucketed by cell so a query touches n_probe/n_cells of
+    the data — here the cell id is a join key and Catalyst/AQE handle
+    cell-size skew.
+
+    ``train=True`` fits the coarse quantizer with sampled k-means
+    (:func:`train_ivf_centroids`) — data-dependent cells are what makes
+    IVF recall hold at scale; the seeded-random fallback exists for
+    zero-setup runs.
 
     Output: (query_id, vec_id, score, rank).
     """
-    assign1 = _ivf_assign_udf(dim, n_cells, 1)
-    assignp = _ivf_assign_udf(dim, n_cells, n_probe)
+    cents = (
+        train_ivf_centroids(corpus, dim, n_cells, id_col, vec_col)
+        if train
+        else None
+    )
+    assign1 = _ivf_assign_udf(dim, n_cells, 1, centroids=cents)
+    assignp = _ivf_assign_udf(dim, n_cells, n_probe, centroids=cents)
     c = corpus.select(
         F.col(id_col), F.col(vec_col), F.element_at(assign1(F.col(vec_col)), 1).alias("cell")
     )
@@ -312,6 +386,13 @@ def cosine_near_dups(
         F.col(id_col).alias("_id"),
         F.explode(sketch(F.col(vec_col))).alias("bucket"),
     )
+    return _verify_pairs_cosine(df, b, threshold, id_col, vec_col)
+
+
+def _verify_pairs_cosine(df, b, threshold, id_col, vec_col):
+    """Shared verify stage: same-bucket self-join → distinct candidate
+    pairs (eagerly persisted) → vectors joined back → exact cosine ≥
+    threshold."""
     l, r = b.alias("l"), b.alias("r")
     pairs = (
         l.join(
@@ -333,4 +414,72 @@ def cosine_near_dups(
             "id_a", "id_b", cosine(F.col("_va"), F.col("_vb")).alias("score")
         )
         .where(F.col("score") >= threshold)
+    )
+
+
+def exact_cosine_pairs(
+    df: DataFrame,
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """EXACT all-pairs cosine ≥ num/den over a bounded slice —
+    the ground-truth baseline the LSH/IVF paths are measured against.
+
+    Everything up to the final display score is int64 arithmetic on
+    quantized coordinates (round(x·scale)), so results are bit-exact
+    across engines (same trick as ``quantized_topk``): threshold
+    membership is the integer test ``qdot>0 ∧ den²·qdot² ≥ num²·na·nb``
+    (no float-boundary flakiness), and only the reported score does one
+    deterministic double division+sqrt+round.
+
+    O(N²) by design — run it on a slice (|slice|² pairs must fit a
+    shuffle); the non-equi self-join broadcasts one side. At scale this
+    is the recall-evaluation harness, not the production path.
+    """
+    q = df.select(
+        F.col(id_col).alias("_id"),
+        F.transform(
+            vec_col, lambda x: F.round(x.cast("double") * scale).cast("long")
+        ).alias("_q"),
+    ).withColumn(
+        "_n",
+        F.aggregate(
+            F.transform("_q", lambda x: x * x), F.lit(0).cast("long"), lambda a, x: a + x
+        ),
+    )
+    a = q.select(
+        F.col("_id").alias("id_a"), F.col("_q").alias("_qa"), F.col("_n").alias("_na")
+    )
+    b = q.select(
+        F.col("_id").alias("id_b"), F.col("_q").alias("_qb"), F.col("_n").alias("_nb")
+    )
+    qdot = F.aggregate(
+        F.zip_with("_qa", "_qb", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    num2 = threshold_num * threshold_num
+    den2 = threshold_den * threshold_den
+    return (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .withColumn("_qdot", qdot)
+        .where(
+            (F.col("_qdot") > 0)
+            & (
+                F.lit(den2) * F.col("_qdot") * F.col("_qdot")
+                >= F.lit(num2) * F.col("_na") * F.col("_nb")
+            )
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("_qdot").cast("double")
+                / F.sqrt(F.col("_na").cast("double") * F.col("_nb").cast("double")),
+                4,
+            ).alias("score"),
+        )
     )

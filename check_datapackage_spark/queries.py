@@ -1187,6 +1187,62 @@ ORDER BY jsonpath, type
 """
 
 
+# ---------------------------------------------------------------------------
+# q36 — exact cosine pair baseline (ground truth for the LSH/IVF paths)
+# ---------------------------------------------------------------------------
+
+
+def q36_exact_cosine_pairs(spark, sf_dir):
+    """Exact all-pairs cosine ≥ 0.4 on a bounded slice with planted
+    near-duplicates — int64 quantized arithmetic end-to-end so the
+    DuckDB oracle matches bit-exactly (threshold membership is an
+    integer test). This is the ground-truth harness the LSH/IVF
+    approximate paths are measured against."""
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 100)
+    planted = emb.where(F.col("vec_id") < 8).select(
+        (F.col("vec_id") + 700000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x.cast("double") * F.lit(1.0001)).cast("float")
+        ).alias("embedding"),
+        "label",
+    )
+    out = similarity.exact_cosine_pairs(
+        emb.unionByName(planted), threshold_num=2, threshold_den=5
+    )
+    return out.orderBy("id_a", "id_b")
+
+
+Q36_SQL = """
+WITH base AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 100
+  UNION ALL
+  SELECT vec_id + 700000,
+         list_transform(embedding,
+           x -> CAST(CAST(x AS DOUBLE) * 1.0001 AS FLOAT))
+  FROM embeddings WHERE vec_id < 8),
+e AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+  FROM base),
+n AS (
+  SELECT vec_id, q,
+         CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS nrm
+  FROM e),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         CAST(list_sum(list_transform(list_zip(a.q, b.q),
+                x -> x[1] * x[2])) AS BIGINT) AS qdot,
+         a.nrm AS na, b.nrm AS nb
+  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+SELECT id_a, id_b,
+       ROUND(CAST(qdot AS DOUBLE) / SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 4) AS score
+FROM p
+WHERE qdot > 0 AND 25 * qdot * qdot >= 4 * na * nb
+ORDER BY id_a, id_b
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_profile_lineitem": q02_profile_lineitem,
@@ -1223,6 +1279,7 @@ QUERIES = {
     "q33_exact_dedup": q33_exact_dedup,
     "q34_combinators": q34_combinators,
     "q35_json_schema_constraint": q35_json_schema_constraint,
+    "q36_exact_cosine_pairs": q36_exact_cosine_pairs,
 }
 
 ORACLES = {
@@ -1255,6 +1312,7 @@ ORACLES = {
     "q33_exact_dedup": Q33_SQL,
     "q34_combinators": Q34_SQL,
     "q35_json_schema_constraint": Q35_SQL,
+    "q36_exact_cosine_pairs": Q36_SQL,
     # q19-q22: non-SQL-expressible (MinHash/SimHash/LSH/mapInPandas) —
     # rows-only checks by design.
 }

@@ -212,3 +212,56 @@ def test_cosine_near_dups_finds_planted(spark, emb):
     found = {(r["id_a"], r["id_b"]) for r in res}
     planted = {(a, a + 900000) for a in [r["vec_id"] for r in base.limit(4).collect()]}
     assert planted <= found, (planted, found)
+
+
+def test_exact_cosine_pairs_ground_truth(spark, emb):
+    """exact_cosine_pairs finds planted near-identical pairs and its
+    integer membership test matches the float cosine."""
+    base = emb.limit(100)
+    dup = base.limit(4).withColumn("vec_id", F.col("vec_id") + 900000)
+    res = similarity.exact_cosine_pairs(
+        base.unionByName(dup), threshold_num=2, threshold_den=5
+    ).collect()
+    found = {(r["id_a"], r["id_b"]) for r in res}
+    planted = {
+        (a, a + 900000) for a in [r["vec_id"] for r in base.limit(4).collect()]
+    }
+    assert planted <= found
+    # planted exact copies score 1.0
+    scores = {(r["id_a"], r["id_b"]): r["score"] for r in res}
+    assert all(scores[p] == 1.0 for p in planted)
+
+
+def test_ivf_trained_centroids_beat_random_recall(spark, emb):
+    """Sampled-k-means centroids must not lose recall vs the random
+    fallback at equal n_probe (the reason train_ivf_centroids exists)."""
+    corpus = emb.limit(400).cache()
+    queries = corpus.limit(5)
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in similarity.brute_force_topk(corpus, queries, k=5).collect()
+    }
+
+    def recall(train):
+        got = {
+            (r["query_id"], r["vec_id"])
+            for r in similarity.ivf_topk(
+                corpus, queries, dim=64, k=5, n_cells=16, n_probe=4,
+                train=train,
+            ).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    r_rand, r_trained = recall(False), recall(True)
+    assert r_trained >= r_rand - 0.05, (r_rand, r_trained)
+    assert r_trained >= 0.5, r_trained
+
+
+def test_train_ivf_centroids_shape_and_determinism(spark, emb):
+    c1 = similarity.train_ivf_centroids(emb.limit(200), dim=64, n_cells=8)
+    c2 = similarity.train_ivf_centroids(emb.limit(200), dim=64, n_cells=8)
+    assert c1.shape == (64, 8)
+    import numpy as np
+
+    assert np.array_equal(c1, c2)
+    assert np.allclose(np.linalg.norm(c1, axis=0), 1.0)
