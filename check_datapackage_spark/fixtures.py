@@ -208,3 +208,61 @@ def token_invariant_checks():
             instance=F.lit(None),
         ),
     ]
+
+
+def sequences_df_fast(
+    spark: SparkSession, n_rows: int = 1000, partitions: int = 32
+) -> DataFrame:
+    """All-valid F1 table generated with numpy inside ``mapInPandas`` —
+    ~10× faster than :func:`sequences_df`'s Catalyst expression path
+    (interpreted higher-order ``transform(sequence(...))`` per row).
+
+    Built for bulk dataset materialization (scaling bench, large local
+    fixtures): same schema and validity invariants as ``sequences_df``
+    (n_tok ∈ [1, MAX_TOK], len(tokens) == n_tok, values ∈ [0, VOCAB),
+    Zipf-skewed source with the ~50% hot key), deterministic in
+    (row-id range, SEED) — token VALUES differ from sequences_df's
+    hash family, which no consumer depends on.
+    """
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            out_tok = []
+            n_toks = np.empty(len(ids), dtype=np.int32)
+            for j, i in enumerate(ids):
+                rng = np.random.default_rng(SEED * 1_000_003 + int(i))
+                n = int(rng.integers(1, MAX_TOK + 1))
+                n_toks[j] = n
+                out_tok.append(rng.integers(0, VOCAB, n, dtype=np.int32))
+            h = np.empty(len(ids), dtype=np.int64)
+            for j, i in enumerate(ids):
+                h[j] = np.random.default_rng(SEED * 9_000_011 + int(i)).integers(
+                    0, 2**62
+                )
+            src = np.where(
+                h % 2 == 0,
+                "src-000",
+                np.char.add(
+                    "src-",
+                    np.char.zfill(((h // 7) % 99 + 1).astype(str), 3),
+                ),
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": ["doc-%012d" % i for i in ids],
+                    "tokens": out_tok,
+                    "n_tok": n_toks,
+                    "source": src,
+                    "_row": ids,
+                }
+            )
+
+    return spark.range(0, n_rows, 1, partitions).mapInPandas(
+        gen,
+        schema="doc_id string, tokens array<int>, n_tok int, source string, _row long",
+    )

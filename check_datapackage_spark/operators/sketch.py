@@ -116,8 +116,9 @@ def tdigest_by_group(
 
     applyInPandas per group (each group's digest built in one pass);
     output (group, q, value) stays a DataFrame — no driver collect.
-    For very hot groups, pre-aggregate with partition_digests per
-    (group, salt) and merge — not needed while |group| fits a task.
+    For groups that exceed one task, use
+    :func:`tdigest_by_group_salted` (value-collapsing + salted partial
+    digests — bounded task state at any skew).
     """
     qs = list(quantiles)
 
@@ -133,4 +134,71 @@ def tdigest_by_group(
 
     return df.select(by, column).groupBy(by).applyInPandas(
         per_group, schema=f"{by} string, q double, value double"
+    )
+
+
+def tdigest_by_group_salted(
+    df: DataFrame,
+    column: str,
+    by: str,
+    quantiles: Sequence[float] = (0.5,),
+    delta: int = 200,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Hot-group-safe per-group t-digest (the salted two-level path
+    :func:`tdigest_by_group`'s docstring promises for groups that
+    exceed one task).
+
+    Three-stage plan, all state bounded:
+
+    1. ``groupBy(group, value)`` weighted-value aggregate — identical
+       values collapse MAP-SIDE, so a billion repeats of one value
+       arrive at the digest stage as a single (value, weight) row.
+    2. partial digest per ``(group, salt)`` where salt =
+       ``xxhash64(value) % n_salts`` — a hot group's DISTINCT values
+       spread uniformly over ``n_salts`` tasks, each holding ≤
+       |distinct|/n_salts weighted points before compressing to ≤ delta
+       centroids. Value-hash (not row-random) salting keeps the result
+       deterministic under any input partitioning.
+    3. per-group merge of ≤ n_salts·delta centroids → quantiles.
+
+    Output contract matches tdigest_by_group: (group, q, value).
+    """
+    qs = list(quantiles)
+
+    def partial(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        m, w = _compress(
+            pdf["_v"].to_numpy(dtype=np.float64),
+            pdf["_w"].to_numpy(dtype=np.float64),
+            delta,
+        )
+        return pd.DataFrame({by: [key[0]] * len(m), "mean": m, "weight": w})
+
+    def merge(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        m, w = _compress(
+            pdf["mean"].to_numpy(dtype=np.float64),
+            pdf["weight"].to_numpy(dtype=np.float64),
+            delta,
+        )
+        if len(m) == 0:
+            return pd.DataFrame({by: [], "q": [], "value": []})
+        cum = np.cumsum(w) - w / 2
+        total = w.sum()
+        vals = [float(np.interp(q * total, cum, m)) for q in qs]
+        return pd.DataFrame({by: [key[0]] * len(qs), "q": qs, "value": vals})
+
+    weighted = (
+        df.where(F.col(column).isNotNull())
+        .groupBy(F.col(by), F.col(column).cast("double").alias("_v"))
+        .agg(F.count(F.lit(1)).cast("double").alias("_w"))
+        .withColumn(
+            "_salt",
+            F.pmod(F.xxhash64(F.col("_v").cast("string")), F.lit(n_salts)),
+        )
+    )
+    partials = weighted.groupBy(by, "_salt").applyInPandas(
+        partial, schema=f"{by} string, mean double, weight double"
+    )
+    return partials.groupBy(by).applyInPandas(
+        merge, schema=f"{by} string, q double, value double"
     )

@@ -90,9 +90,14 @@ def violations_plan(
         elems.append(F.when(~ck.ok, struct))
 
     arr = F.array_compact(F.array(*elems))
+    # NO pre-filter on size(_v): explode (non-outer) already drops empty
+    # arrays, and a `where(size(_v) > 0)` above the projection makes the
+    # whole violations array — an array_compact lambda, i.e. interpreted,
+    # outside whole-stage codegen, no common-subexpression reuse — get
+    # evaluated TWICE per row (verified in the physical plan: the full
+    # expression appeared in both Filter and Project).
     out = (
         df.select(arr.alias("_v"))
-        .where(F.size("_v") > 0)
         .select(F.explode("_v").alias("v"))
         .select([F.col(f"v.{c}").alias(c) for c in VIOLATION_COLUMNS])
     )

@@ -100,3 +100,53 @@ def foreach_batch_validator(
             sink(res.violations, epoch_id)
 
     return _run
+
+
+def stateful_session_counts(
+    stream: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_s: int = 1800,
+) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``
+    (the engine's arbitrary-state surface, task brief §streaming): per-
+    user session counting with a ``gap_s`` inactivity gap — the
+    streaming twin of the batch q16 sessionization query.
+
+    State per user = (last event time in ns, running session count);
+    each micro-batch folds its (sorted) events into the state and emits
+    the updated count. State is two longs per key — bounded regardless
+    of stream length; Spark shuffles each micro-batch by the grouping
+    key so a user's events always meet their state on one task.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_ns = int(gap_s) * 1_000_000_000
+
+    def fn(key, pdfs, state: GroupState):
+        if state.exists:
+            last_ns, n_sessions = state.get
+        else:
+            last_ns, n_sessions = None, 0
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        ts = (
+            batch[ts_col]
+            .astype("datetime64[ns]")
+            .astype("int64")
+            .sort_values()
+        )
+        for t in ts:
+            if last_ns is None or t - last_ns > gap_ns:
+                n_sessions += 1
+            last_ns = int(t)
+        state.update((last_ns, n_sessions))
+        yield pd.DataFrame({user_col: [key[0]], "n_sessions": [n_sessions]})
+
+    return stream.groupBy(user_col).applyInPandasWithState(
+        fn,
+        outputStructType=f"{user_col} long, n_sessions long",
+        stateStructType="last_ns long, n_sessions long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

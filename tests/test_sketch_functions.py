@@ -122,3 +122,54 @@ def test_geopoint_array(spark):
     df = spark.createDataFrame([([10.0, 20.0],), ([200.0, 0.0],), ([1.0],)], ["v"])
     got = [r[0] for r in df.select(geopoint_array_ok(F.col("v"))).collect()]
     assert got == [True, False, False]
+
+
+def test_salted_group_tdigest_matches_plain(spark):
+    """Salted path approximates the same quantiles as the plain path
+    and is deterministic under repartitioning (value-hash salting)."""
+    import numpy as np
+    from check_datapackage_spark.operators.sketch import (
+        tdigest_by_group,
+        tdigest_by_group_salted,
+    )
+
+    rows = [(("g%d" % (i % 3)), float((i * 37) % 1000)) for i in range(6000)]
+    df = spark.createDataFrame(rows, "g string, v double")
+
+    plain = {
+        (r["g"], r["q"]): r["value"]
+        for r in tdigest_by_group(df, "v", "g", quantiles=(0.25, 0.5, 0.9)).collect()
+    }
+    salted = {
+        (r["g"], r["q"]): r["value"]
+        for r in tdigest_by_group_salted(
+            df, "v", "g", quantiles=(0.25, 0.5, 0.9), n_salts=8
+        ).collect()
+    }
+    assert set(plain) == set(salted)
+    for k in plain:
+        # same data, both sketches: within 2% of the 0..1000 range
+        assert abs(plain[k] - salted[k]) <= 20.0, (k, plain[k], salted[k])
+
+    again = {
+        (r["g"], r["q"]): r["value"]
+        for r in tdigest_by_group_salted(
+            df.repartition(17), "v", "g", quantiles=(0.25, 0.5, 0.9), n_salts=8
+        ).collect()
+    }
+    assert salted == again  # deterministic under partitioning
+
+
+def test_salted_group_tdigest_hot_value_collapse(spark):
+    """A group dominated by one repeated value stays correct: the
+    map-side (group,value) aggregate collapses repeats to one weighted
+    point."""
+    from check_datapackage_spark.operators.sketch import tdigest_by_group_salted
+
+    rows = [("hot", 5.0)] * 5000 + [("hot", float(v)) for v in range(100)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {
+        r["q"]: r["value"]
+        for r in tdigest_by_group_salted(df, "v", "g", quantiles=(0.5,)).collect()
+    }
+    assert abs(out[0.5] - 5.0) < 1.0

@@ -158,3 +158,40 @@ def test_cli_strictify():
     assert all(f.constraints.required for f in s.fields)
     # ref strict name pattern (check.py:518-527)
     assert s.field("name").constraints.pattern == r"^[a-z0-9._-]+$"
+
+
+def test_stateful_session_counts_matches_batch(spark, tmp_path):
+    """applyInPandasWithState sessionizer agrees with the batch q16
+    sessionization on the same events."""
+    from check_datapackage_spark.queries import QUERIES
+    from check_datapackage_spark.streaming.checks import stateful_session_counts
+
+    sf = "/root/testdata/sf0.001"
+    src = str(tmp_path / "ev")
+    ev = load(spark, sf, "events")
+    ev.write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+
+    out = stateful_session_counts(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r["user_id"]: r["n_sessions"]
+        for r in spark.sql(
+            "SELECT user_id, max(n_sessions) AS n_sessions FROM sess GROUP BY user_id"
+        ).collect()
+    }
+    want = {
+        r["user_id"]: r["n_sessions"]
+        for r in QUERIES["q16_sessions"](spark, sf).collect()
+    }
+    assert got == want
