@@ -280,12 +280,13 @@ def compile_json_schema_checks(
 
     #: extracted JSON scalars are strings; per-type re-parse predicates.
     #: try_cast, not cast — ANSI mode (Spark 4 default) makes a failed
-    #: cast throw instead of returning NULL.
+    #: cast throw instead of returning NULL. No "string" entry: every
+    #: extracted scalar is a string (get_json_object strips quotes), so
+    #: a string-type check would be vacuous — documented subset limit.
     _type_ok: dict[str, Callable[[Column], Column]] = {
         "integer": lambda v: v.try_cast("long").isNotNull(),
         "number": lambda v: v.try_cast("double").isNotNull(),
         "boolean": lambda v: v.isin("true", "false"),
-        "string": lambda v: v.isNotNull(),
     }
     for prop, sub in js.get("properties", {}).items():
         pt = sub.get("type") if isinstance(sub, dict) else None
