@@ -1243,6 +1243,30 @@ ORDER BY id_a, id_b
 """
 
 
+# ---------------------------------------------------------------------------
+# q37 — IVF ANN with trained coarse quantizer (rows-only; approximate)
+# ---------------------------------------------------------------------------
+
+
+def q37_ivf_ann_trained(spark, sf_dir):
+    """IVF-Flat top-k with the sampled-k-means coarse quantizer
+    (train=True) — the data-dependent-cells scale path. Rows-only:
+    LSH/IVF candidate sets are not SQL-expressible; q36 provides the
+    exact ground-truth oracle and the pytest recall test pins
+    trained >= random recall."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(0.001)).alias("embedding"),
+    )
+    out = similarity.ivf_topk(
+        emb, queries, dim=64, k=5, n_cells=16, n_probe=6, train=True
+    )
+    return out.select(
+        "query_id", "vec_id", F.round("score", 4).alias("score"), "rank"
+    ).orderBy("query_id", "rank")
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_profile_lineitem": q02_profile_lineitem,
@@ -1280,6 +1304,7 @@ QUERIES = {
     "q34_combinators": q34_combinators,
     "q35_json_schema_constraint": q35_json_schema_constraint,
     "q36_exact_cosine_pairs": q36_exact_cosine_pairs,
+    "q37_ivf_ann_trained": q37_ivf_ann_trained,
 }
 
 ORACLES = {
