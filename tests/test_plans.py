@@ -123,3 +123,26 @@ def test_bucketed_join_no_shuffle(spark, sf_dir, tmp_path_factory):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS li_b")
         spark.sql("DROP TABLE IF EXISTS ord_b")
+
+
+def test_violations_plan_prefilters_before_generate(spark):
+    """Catalyst's InferFiltersFromGenerate puts a size(_v) > 0 Filter
+    below the Generate, so clean rows evaluate the violations array
+    once and are dropped before the projection — pin that shape (one
+    Filter + one Project carrying the array, one Generate above)."""
+    from check_datapackage_spark import TableSpec, compile_table_checks, violations_plan
+
+    df = spark.createDataFrame([(1, "x")], "id int, s string")
+    spec = TableSpec.from_dict(
+        {"name": "t", "schema": {
+            "primaryKey": ["id"],
+            "fields": [{"name": "s", "type": "string",
+                        "constraints": {"required": True, "minLength": 1}}]}}
+    )
+    checks = compile_table_checks(spec, schema=df.schema)
+    plan = violations_plan(df, checks, "t", row_key="id")._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Generate explode") == 1, plan
+    assert "Filter (size(" in plan, plan
+    # the interpreted array appears at most twice (Filter + Project) —
+    # never a third copy
+    assert plan.count("lambdafunction") <= 2 * 2, plan
