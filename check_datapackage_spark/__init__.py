@@ -57,6 +57,12 @@ from .plans.validation import (
 from .extensions import CustomCheck, ExtensionError, RequiredCheck, compile_extensions
 from .plans.nested import nested_violations
 from .spec import SpecTypeError
+from .examples import (
+    example_field_properties,
+    example_table,
+    example_table_properties,
+    example_table_spec,
+)
 
 __version__ = "0.1.0"
 
@@ -87,6 +93,10 @@ __all__ = [
     "compile_one_of",
     "compile_one_of_required",
     "compile_table_checks",
+    "example_field_properties",
+    "example_table",
+    "example_table_properties",
+    "example_table_spec",
     "exclusion_filter",
     "explain",
     "pretty_print",

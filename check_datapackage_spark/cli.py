@@ -17,7 +17,7 @@ import argparse
 import os
 import sys
 
-from .issue import DataPackageError, explain
+from .issue import DataPackageError, explain, pretty_print
 from .plans.validation import check_table
 from .session import get_spark
 from .sources.registry import load_table, read_spec, write_violations
@@ -137,8 +137,9 @@ def main(argv=None) -> int:
     p.add_argument(
         "--spec-version",
         choices=["v1", "v2"],
-        default="v2",
-        help="Data Package standard version to validate against",
+        default=None,  # None = not passed: fall back to TOML, then v2
+        help="Data Package standard version to validate against "
+        "(overrides the config file when passed explicitly)",
     )
     p.add_argument("--error", action="store_true")
     p.add_argument("--exclude-type", nargs="*", default=[])
@@ -171,9 +172,18 @@ def main(argv=None) -> int:
         strict = args.strict or toml_cfg.get("strict", False)
         if strict:
             spec = strictify(spec)
+        # explicit CLI flag wins over TOML (same precedence as --strict)
+        version = args.spec_version or toml_cfg.get("version") or "v2"
+        if version not in ("v1", "v2"):
+            print(
+                f"Invalid `version` in {args.config}: {version!r} "
+                "(expected 'v1' or 'v2').",
+                file=sys.stderr,
+            )
+            return 1
         config = CheckConfig(
             strict=strict,
-            version=toml_cfg.get("version", args.spec_version),
+            version=version,
             exclusions=tuple(
                 [Exclusion(type=t) for t in args.exclude_type]
                 + [Exclusion(jsonpath=j) for j in args.exclude_jsonpath]
@@ -218,7 +228,13 @@ def main(argv=None) -> int:
             res = check_table(df, spec, config=config, dims=dims, extra_checks=extra)
 
         if res.spec_issues:
-            print(explain(res.spec_issues), file=sys.stderr)
+            # pretty_print renders the [u]/[red] markup (rich when
+            # available, stripped otherwise) instead of printing
+            # literal tags (ADVICE r2)
+            pretty_print(
+                explain(res.spec_issues, subject="datapackage.json"),
+                file=sys.stderr,
+            )
         n = res.violations.count()
         if args.audit:
             write_violations(res.violations, args.audit)

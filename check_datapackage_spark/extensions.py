@@ -234,6 +234,7 @@ def _resolve_targets(schema, segments: list[tuple], path_so_far: str = "$"):
             "in_arr": False,
             "item_fn": None,
             "arr": None,
+            "na": None,  # Column: true ⇒ path matches nothing ⇒ no-op
         }
     ]
 
@@ -251,6 +252,11 @@ def _resolve_targets(schema, segments: list[tuple], path_so_far: str = "$"):
             prev = c["item_fn"]
             n["item_fn"] = (lambda p: (lambda x: p(x)[name]))(prev)
         else:
+            # unmatched-parent guard comes from the EXPRESSION chain
+            # (a null parent nulls every descendant, so guarding the
+            # immediate parent suffices) — never from re-parsing the
+            # display path, which broke on `[i]` segments (ADVICE r2).
+            n["na"] = None if c["expr"] is None else c["expr"].isNull()
             n["expr"] = F.col(name) if c["expr"] is None else c["expr"][name]
         return n
 
@@ -319,10 +325,24 @@ def _resolve_targets(schema, segments: list[tuple], path_so_far: str = "$"):
                     new.append(t)
             elif seg[0] == "index":
                 if c["dtype"].typeName() == "array" and not c["in_arr"]:
+                    idx = seg[1]
+                    arr = c["expr"]
                     n = dict(c)
                     n["dtype"] = c["dtype"].elementType
-                    n["path"] = f"{c['path']}[{seg[1]}]"
-                    n["expr"] = c["expr"].getItem(seg[1])
+                    n["path"] = f"{c['path']}[{idx}]"
+                    # F.get / try_element_at, NOT getItem: ANSI mode
+                    # (Spark 4 default) makes getItem THROW on an
+                    # out-of-bounds index instead of returning NULL.
+                    # A null or too-short array means the path matches
+                    # nothing ⇒ no-op (ref: unmatched paths), tracked
+                    # in `na`. Negative jsonpath indices count from the
+                    # end, like jsonpath-ng ([-1] = last element).
+                    if idx >= 0:
+                        n["expr"] = F.get(arr, F.lit(idx))
+                        n["na"] = arr.isNull() | (F.size(arr) <= F.lit(idx))
+                    else:
+                        n["expr"] = F.try_element_at(arr, F.lit(idx))
+                        n["na"] = arr.isNull() | (F.size(arr) < F.lit(-idx))
                     new.append(n)
             elif seg[0] == "desc":
                 desc_all(c, seg[1], new)
@@ -343,31 +363,16 @@ def _resolve_targets(schema, segments: list[tuple], path_so_far: str = "$"):
             ok = arr.isNull() | F.forall(arr, item_pred)
         else:
             ok = c["expr"].isNotNull()
-            # nested target: an absent (null) parent means the path
-            # matches nothing ⇒ pass (ref: unmatched paths are no-ops);
-            # guarding the immediate parent suffices because a null
-            # higher up nulls the parent too
-            parent_path = c["path"].rsplit(".", 1)[0].removeprefix("$.")
-            if parent_path and parent_path != "$" and "[" not in parent_path:
-                parent_expr = _expr_for_dotted(parent_path)
-                if parent_expr is not None:
-                    ok = parent_expr.isNull() | ok
+            # an unmatched path (null parent, null/short array before
+            # an index segment) is a no-op ⇒ pass (ref: unmatched
+            # paths); `na` was built from the expression chain during
+            # descent, so index segments are guarded too (ADVICE r2).
+            if c["na"] is not None:
+                ok = c["na"] | ok
         targets.append(
             _Target(ok=ok, path=c["path"], root_col=c["root"])
         )
     return targets
-
-
-def _expr_for_dotted(dotted: str):
-    if not dotted or dotted == "$":
-        return None
-    parts = [p for p in dotted.replace("[*]", "").split(".") if p]
-    if not parts:
-        return None
-    e = F.col(parts[0])
-    for p in parts[1:]:
-        e = e[p]
-    return e
 
 
 @dataclass(frozen=True)

@@ -112,7 +112,39 @@ def type_conforms(col: Column, table_type: str, fmt: str = "default") -> Column:
             F.ltrim(col).startswith("[") & F.try_parse_json(col).isNotNull(),
         )
     if table_type == "geopoint":
-        # default format: "lon,lat" string; array format handled natively
+        # three declared formats (reference schema geopoint formats
+        # default/array/object, SURVEY §1.3):
+        #   default — "lon,lat" string
+        #   array   — JSON text "[lon, lat]" (native array<double>
+        #             columns are checked with geopoint_array_ok)
+        #   object  — JSON text '{"lon": ..., "lat": ...}'
+        if fmt == "array":
+            arr = F.from_json(col, "array<double>")
+            lon = F.try_element_at(arr, F.lit(1))
+            lat = F.try_element_at(arr, F.lit(2))
+            return _null_ok(
+                col,
+                arr.isNotNull()
+                & (F.size(arr) == 2)
+                & lon.isNotNull()
+                & lat.isNotNull()
+                & lon.between(-180.0, 180.0)
+                & lat.between(-90.0, 90.0),
+            )
+        if fmt == "object":
+            st = F.from_json(col, "struct<lon:double,lat:double>")
+            # explicit isNotNull guards: a missing/unparseable lon or
+            # lat must yield FALSE, not SQL NULL (NULL ok-predicates
+            # would slip past the violations filter)
+            return _null_ok(
+                col,
+                F.ltrim(col).startswith("{")
+                & st.isNotNull()
+                & st["lon"].isNotNull()
+                & st["lat"].isNotNull()
+                & st["lon"].between(-180.0, 180.0)
+                & st["lat"].between(-90.0, 90.0),
+            )
         return _null_ok(
             col,
             col.rlike(r"^\s*-?[0-9]+(\.[0-9]+)?\s*,\s*-?[0-9]+(\.[0-9]+)?\s*$"),

@@ -127,17 +127,25 @@ class DataPackageError(Exception):
     """Raised when error-mode checks find issues (ref check.py:161-169)."""
 
 
-def explain(issues: list[Issue]) -> str:
+def explain(issues: list[Issue], subject: str = "data") -> str:
     """Human report (ref check.py:172-214): header + per-issue snippet
     with the property underlined by carets at its PARENT path — exact
     rendering parity with the reference (tests/test_check.py:66-97:
     'At top level:' / 'At resources[0]:' display, '| name: <value>'
-    line, '^'-underline sized to the instance text)."""
+    line, '^'-underline sized to the instance text).
+
+    ``subject`` names what was validated in the header. The reference
+    always says ``datapackage.json`` (check.py:212) because it only
+    validates descriptors; this engine validates both, so SPEC-level
+    issue reports pass ``subject="datapackage.json"`` (exact reference
+    wording) and data-plane violation reports keep the default
+    ``"data"`` — the one deliberate divergence, decided per VERDICT r2.
+    """
     explanations = [_create_explanation(i) for i in issues]
     n = len(explanations)
     singular_or_plural = " was" if n == 1 else "s were"
     return (
-        f"{n} issue{singular_or_plural} found in your [u]data[/u]:\n\n"
+        f"{n} issue{singular_or_plural} found in your [u]{subject}[/u]:\n\n"
         + "\n".join(explanations)
     )
 
@@ -175,15 +183,16 @@ def _display_jsonpath(jsonpath: str) -> str:
     return jsonpath.removeprefix("$.")
 
 
-def pretty_print(obj) -> None:
+def pretty_print(obj, file=None) -> None:
     """Render an explain() report with rich markup (ref __init__.py:3
     re-exports ``rich.print``); falls back to stripping the [red]/[u]
-    tags when rich isn't installed."""
+    tags when rich isn't installed. ``file`` routes the output (the CLI
+    sends spec issues to stderr)."""
     try:
         from rich import print as _rich_print
 
-        _rich_print(obj)
+        _rich_print(obj, file=file)
     except ImportError:
         import re as _re
 
-        print(_re.sub(r"\[/?(?:red|u)\]", "", str(obj)))
+        print(_re.sub(r"\[/?(?:red|u)\]", "", str(obj)), file=file)

@@ -263,6 +263,13 @@ def train_ivf_centroids(
     for _ in range(iters):
         sims = Xn @ cents.T
         assign = np.argmax(sims, axis=1)
+        # reseed empty cells from the k-worst-served DISTINCT points
+        # (ranked ascending by similarity to their assigned centroid):
+        # recomputing per iteration and consuming the ranking one point
+        # per empty cell guarantees no duplicate centroids (ADVICE r2 —
+        # the old code gave every empty cell the SAME worst point).
+        own = sims[np.arange(len(Xn)), assign]
+        reseed_order = iter(np.argsort(own, kind="stable"))
         for c in range(k):
             members = Xn[assign == c]
             if len(members):
@@ -270,9 +277,7 @@ def train_ivf_centroids(
                 n = np.linalg.norm(m)
                 cents[c] = m / n if n > 0 else cents[c]
             else:
-                # reseed an empty cell with the worst-served point
-                worst = np.argmin(sims[np.arange(len(Xn)), assign])
-                cents[c] = Xn[worst]
+                cents[c] = Xn[next(reseed_order)]
     if k < n_cells:  # tiny corpus: pad with wrap-around copies
         cents = np.vstack([cents, cents[: n_cells - k]])
     return cents.T  # (dim, n_cells)

@@ -145,7 +145,11 @@ def raise_on_violations(result, max_show: int = 20) -> None:
     from ..issue import DataPackageError, explain, issues_from_rows
 
     if result.spec_issues:
-        raise DataPackageError(explain(result.spec_issues))
+        # spec-level issues report against the descriptor, exact
+        # reference wording (check.py:212)
+        raise DataPackageError(
+            explain(result.spec_issues, subject="datapackage.json")
+        )
     sample = result.violations.limit(max_show).collect()
     if sample:
         raise DataPackageError(explain(issues_from_rows(sample)))

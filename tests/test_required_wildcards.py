@@ -71,6 +71,58 @@ def test_array_wildcard_per_item(spark, nested_df):
     assert keys(rows) == {("2", "contributors[*].name.required.ext")}
 
 
+def test_index_targets_guard_null_and_short_arrays(spark, nested_df):
+    """$.contributors[1].name — rows whose parent array is null or too
+    short match nothing ⇒ no-op (ref: unmatched paths), and no ANSI
+    INVALID_ARRAY_INDEX is raised for the short rows (ADVICE r2: the
+    old getItem path threw under Spark 4 ANSI)."""
+    checks = compile_extensions(
+        [RequiredCheck(jsonpath="$.contributors[1].name")],
+        schema=nested_df.schema,
+    )
+    rows = run_checks(nested_df, checks)
+    # row 1 has only 1 contributor (short), row 3 null, row 4 empty —
+    # all unmatched; row 2's second item has name "bob" → pass.
+    assert keys(rows) == set()
+
+    checks = compile_extensions(
+        [RequiredCheck(jsonpath="$.contributors[1].title")],
+        schema=nested_df.schema,
+    )
+    rows = run_checks(nested_df, checks)
+    # row 2 item[1] = ("bob", None): title null → violation
+    assert keys(rows) == {("2", "contributors[1].title.required.ext")}
+
+
+def test_negative_index_counts_from_end(spark, nested_df):
+    """$.contributors[-1].name — jsonpath negative index = from the
+    end (Spark element_at semantics, not getItem(-1)≡NULL)."""
+    checks = compile_extensions(
+        [RequiredCheck(jsonpath="$.contributors[-1].name")],
+        schema=nested_df.schema,
+    )
+    rows = run_checks(nested_df, checks)
+    # last items: row1 ("alice","Dr") pass, row2 ("bob",None) pass on
+    # name; rows 3/4 unmatched
+    assert keys(rows) == set()
+
+    checks = compile_extensions(
+        [RequiredCheck(jsonpath="$.contributors[-2].name")],
+        schema=nested_df.schema,
+    )
+    rows = run_checks(nested_df, checks)
+    # row 2 item[-2] = (None, "Mx") → name null → violation; row 1 has
+    # only one item → unmatched
+    assert keys(rows) == {("2", "contributors[-2].name.required.ext")}
+
+
+def test_index_leaf_target_rejected(spark):
+    """$.licenses[0] — a path ending in an index (no name selector) is
+    rejected at construction, same ValueError parity as ends-in-[*]."""
+    with pytest.raises(ValueError):
+        RequiredCheck(jsonpath="$.licenses[0]")
+
+
 def test_union_selectors_and_paths(spark, nested_df):
     got = compile_extensions(
         [RequiredCheck(jsonpath="$.meta['id','title'] | $.id")],

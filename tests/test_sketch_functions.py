@@ -124,6 +124,37 @@ def test_geopoint_array(spark):
     assert got == [True, False, False]
 
 
+GEOPOINT_FMT_CASES = [
+    # reference schema geopoint formats: default / array / object
+    ("default", "12.5, -45.1", True),
+    ("default", "[12.5, -45.1]", False),
+    ("array", "[12.5, -45.1]", True),
+    ("array", "[12.5]", False),
+    ("array", "[200.0, 0.0]", False),  # lon out of range
+    ("array", "[12.5, -95.0]", False),  # lat out of range
+    ("array", '["a", "b"]', False),
+    ("array", "12.5, -45.1", False),
+    ("object", '{"lon": 12.5, "lat": -45.1}', True),
+    ("object", '{"lon": 12.5}', False),  # lat missing
+    ("object", '{"lon": 200.0, "lat": 0.0}', False),  # out of range
+    ("object", '{"lon": "abc", "lat": 1.0}', False),
+    ("object", "[12.5, -45.1]", False),
+    ("object", "{bad", False),
+]
+
+
+@pytest.mark.parametrize("fmt,value,expected", GEOPOINT_FMT_CASES)
+def test_geopoint_formats(spark, fmt, value, expected):
+    """All three reference geopoint formats conform/violate correctly,
+    and the ok-predicate is never SQL NULL (a NULL would slip past the
+    violations filter)."""
+    df = spark.createDataFrame([(value,)], ["v"])
+    got = df.select(
+        type_conforms(F.col("v"), "geopoint", fmt).alias("ok")
+    ).collect()[0]["ok"]
+    assert got is expected, (fmt, value)
+
+
 def test_salted_group_tdigest_matches_plain(spark):
     """Salted path approximates the same quantiles as the plain path
     and is deterministic under repartitioning (value-hash salting)."""

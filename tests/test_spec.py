@@ -246,3 +246,73 @@ def test_remote_spec_refused_without_flag(tmp_path):
     # gh: resolution goes through the same gate
     with pytest.raises(NotImplementedError, match="allow_remote"):
         read_spec("gh:org/repo@1.0.0")
+
+
+# --- golden example specs (ref examples.py:5-72) ----------------------------
+
+
+def test_golden_example_all_pass(spark):
+    """The exported golden fixture is the canonical all-pass base:
+    zero spec issues, zero violations (ref examples.py's role as the
+    mutate-from-valid seed for the whole test style)."""
+    from check_datapackage_spark import (
+        check_table,
+        example_table,
+        example_table_spec,
+        validate_spec,
+    )
+
+    spec = example_table_spec()
+    assert validate_spec(spec) == []
+    res = check_table(example_table(spark), spec)
+    assert res.spec_issues == []
+    assert res.violations.count() == 0
+    assert res.passed()
+
+
+def test_golden_example_mutate_from_valid(spark):
+    """Mutating ONE value in the golden table yields exactly that
+    violation — the reference's test idiom on our fixture."""
+    from pyspark.sql import functions as F
+
+    from check_datapackage_spark import (
+        check_table,
+        example_table,
+        example_table_spec,
+    )
+
+    bad = example_table(spark).withColumn(
+        "eye_colour",
+        F.when(F.col("id") == 2, F.lit("purple")).otherwise(F.col("eye_colour")),
+    )
+    rows = check_table(bad, example_table_spec()).violations.collect()
+    assert len(rows) == 1
+    assert rows[0]["type"] == "enum"
+    assert rows[0]["column"] == "eye_colour"
+    assert rows[0]["row_key"] == "2"
+
+
+def test_golden_example_properties_shapes():
+    from check_datapackage_spark import (
+        example_field_properties,
+        example_table_properties,
+    )
+
+    f = example_field_properties()
+    t = example_table_properties()
+    assert f["name"] == "eye_colour" and "constraints" in f
+    assert t["schema"]["fields"][1] == f
+    assert t["schema"]["primaryKey"] == ["id"]
+
+
+def test_explain_subject_wording():
+    """Spec-level reports use the reference's exact header wording
+    (check.py:212 'datapackage.json'); data-plane reports say 'data' —
+    the single deliberate divergence, decided per VERDICT r2."""
+    from check_datapackage_spark.issue import MISSING, Issue, explain
+
+    issues = [Issue("$.a", "required", "a is required", instance=MISSING)]
+    assert "found in your [u]data[/u]" in explain(issues)
+    assert "found in your [u]datapackage.json[/u]" in explain(
+        issues, subject="datapackage.json"
+    )
