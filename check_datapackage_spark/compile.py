@@ -285,10 +285,17 @@ def compile_json_schema_checks(
     ``schema_of_variant``), so ``{"k":"1"}`` fails an integer check
     while ``{"k":1}`` and ``{"k":2.0}`` pass; ``enum`` (scalar members,
     type-aware); ``pattern`` (applies to strings only, per Draft-7);
-    ``minimum``/``maximum`` (numbers only); NESTED ``properties`` /
-    ``required`` of object-typed properties at any depth; and
-    ``items.required`` for arrays of objects (the strict-mode
-    contributors/sources item-``title`` rule, ref check.py:533-534).
+    ``minimum``/``maximum``/``exclusiveMinimum``/``exclusiveMaximum``
+    (numbers only); ``minLength``/``maxLength`` (strings only);
+    ``minItems``/``maxItems``/``items.type`` (arrays only, elements
+    type-checked per item via array<variant> + ``forall``); NESTED
+    ``properties`` / ``required`` of object-typed properties at any
+    depth; and ``items.required`` for arrays of objects (the
+    strict-mode contributors/sources item-``title`` rule, ref
+    check.py:533-534). This is every constraint keyword the reference's
+    own schema uses in its constraint sub-schemas except
+    ``uniqueItems`` (declared via TableSpec's declarative constraint
+    instead — variant arrays have no generic dedup expression).
 
     Every per-property keyword is a no-op when the property is absent
     or the parent is not an object (Draft-7 applicability). All
@@ -421,6 +428,82 @@ def compile_json_schema_checks(
                     f"{dotted} is greater than the maximum of {m}",
                     absent | ~tag.isin("integer", "number") | (dbl <= F.lit(float(m))),
                 )
+            if "exclusiveMinimum" in sub_schema:
+                m = sub_schema["exclusiveMinimum"]
+                add(
+                    f"{kprefix}exclusiveMinimum",
+                    "exclusiveMinimum",
+                    f"{dotted} is not greater than the exclusive minimum of {m}",
+                    absent | ~tag.isin("integer", "number") | (dbl > F.lit(float(m))),
+                )
+            if "exclusiveMaximum" in sub_schema:
+                m = sub_schema["exclusiveMaximum"]
+                add(
+                    f"{kprefix}exclusiveMaximum",
+                    "exclusiveMaximum",
+                    f"{dotted} is not less than the exclusive maximum of {m}",
+                    absent | ~tag.isin("integer", "number") | (dbl < F.lit(float(m))),
+                )
+            if "minLength" in sub_schema:
+                m = int(sub_schema["minLength"])
+                add(
+                    f"{kprefix}minLength",
+                    "minLength",
+                    f"{dotted} is shorter than {m} characters",
+                    absent | (tag != "string") | (F.length(sstr) >= F.lit(m)),
+                )
+            if "maxLength" in sub_schema:
+                m = int(sub_schema["maxLength"])
+                add(
+                    f"{kprefix}maxLength",
+                    "maxLength",
+                    f"{dotted} is longer than {m} characters",
+                    absent | (tag != "string") | (F.length(sstr) <= F.lit(m)),
+                )
+            # array keywords: variant→array<variant> cast gives the
+            # elements; Draft-7 applicability makes every keyword a
+            # no-op on non-arrays.
+            arr_kw = any(
+                k in sub_schema for k in ("minItems", "maxItems")
+            ) or isinstance(sub_schema.get("items"), dict)
+            if arr_kw:
+                arr_v = F.try_variant_get(v, path, "array<variant>")
+                not_array = tag != "array"
+                if "minItems" in sub_schema:
+                    m = int(sub_schema["minItems"])
+                    add(
+                        f"{kprefix}minItems",
+                        "minItems",
+                        f"{dotted} has fewer than {m} items",
+                        absent | not_array | (F.size(arr_v) >= F.lit(m)),
+                    )
+                if "maxItems" in sub_schema:
+                    m = int(sub_schema["maxItems"])
+                    add(
+                        f"{kprefix}maxItems",
+                        "maxItems",
+                        f"{dotted} has more than {m} items",
+                        absent | not_array | (F.size(arr_v) <= F.lit(m)),
+                    )
+                items = sub_schema.get("items")
+                if isinstance(items, dict) and items.get("type"):
+                    it = items["type"]
+                    shown = it if isinstance(it, str) else "/".join(it)
+                    # bind via factory — Spark HOFs introspect lambda
+                    # arity, so no default-arg closures
+                    elem_pred = (
+                        lambda declared: lambda x: _json_type_pred(
+                            _variant_type_tag(x),
+                            F.try_variant_get(x, "$", "double"),
+                            declared,
+                        )
+                    )(it)
+                    add(
+                        f"{kprefix}items.type",
+                        "type",
+                        f"{dotted} items are not of type '{shown}'",
+                        absent | not_array | F.forall(arr_v, elem_pred),
+                    )
             if sub_schema.get("properties") or sub_schema.get("required"):
                 walk(sub_schema, path, kprefix, f"{dotted}.")
 

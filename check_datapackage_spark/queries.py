@@ -1380,6 +1380,11 @@ def q38_json_schema_typed(spark, sf_dir):
             F.col("event_id") % 23 == 0,
             F.lit('{"k": -5, "meta": {"lang": "en"}}'),
         )
+        .when(F.col("event_id") % 29 == 0, F.lit('{"k": 3, "tags": []}'))
+        .when(
+            F.col("event_id") % 31 == 0, F.lit('{"k": 4, "tags": ["a", 5]}')
+        )
+        .when(F.col("event_id") % 37 == 0, F.lit('{"k": 5, "note": "x"}'))
         .otherwise(F.col("props"))
         .alias("props"),
     )
@@ -1407,6 +1412,17 @@ def q38_json_schema_typed(spark, sf_dir):
                                             }
                                         },
                                     },
+                                    "tags": {
+                                        "type": "array",
+                                        "minItems": 1,
+                                        "maxItems": 3,
+                                        "items": {"type": "string"},
+                                    },
+                                    "note": {
+                                        "type": "string",
+                                        "minLength": 2,
+                                        "maxLength": 10,
+                                    },
                                 },
                             }
                         },
@@ -1429,6 +1445,9 @@ WITH s AS (
               WHEN event_id % 17 = 0 THEN '{"k": "1", "meta": {"lang": 5}}'
               WHEN event_id % 19 = 0 THEN '{"k": 2.0, "meta": {"lang": "xx"}}'
               WHEN event_id % 23 = 0 THEN '{"k": -5, "meta": {"lang": "en"}}'
+              WHEN event_id % 29 = 0 THEN '{"k": 3, "tags": []}'
+              WHEN event_id % 31 = 0 THEN '{"k": 4, "tags": ["a", 5]}'
+              WHEN event_id % 37 = 0 THEN '{"k": 5, "note": "x"}'
               ELSE props END AS props
   FROM events),
 x AS (
@@ -1442,7 +1461,18 @@ x AS (
          CASE WHEN json_valid(props)
               THEN json_type(props, '$.meta.lang') END AS l_t,
          CASE WHEN json_valid(props)
-              THEN json_extract_string(props, '$.meta.lang') END AS l_s
+              THEN json_extract_string(props, '$.meta.lang') END AS l_s,
+         CASE WHEN json_valid(props) THEN json_type(props, '$.tags') END AS tg_t,
+         CASE WHEN json_valid(props)
+              THEN json_array_length(props, '$.tags') END AS tg_n,
+         CASE WHEN json_valid(props) THEN coalesce(
+              list_aggregate(
+                list_transform(json_extract(props, '$.tags[*]'),
+                               x -> json_type(x) = 'VARCHAR'),
+                'bool_and'), TRUE) END AS tg_all_str,
+         CASE WHEN json_valid(props) THEN json_type(props, '$.note') END AS nt_t,
+         CASE WHEN json_valid(props)
+              THEN json_extract_string(props, '$.note') END AS nt_s
   FROM s),
 viol AS (
   SELECT event_id, props, 'type' AS type,
@@ -1489,6 +1519,41 @@ viol AS (
          'props.jsonSchema.properties.meta.properties.lang.enum'
   FROM x WHERE props IS NOT NULL AND l_t IS NOT NULL
     AND NOT (l_t = 'VARCHAR' AND l_s IN ('en','de','fr'))
+  UNION ALL
+  SELECT event_id, props, 'type',
+         'tags is not of type ''array''',
+         'props.jsonSchema.properties.tags.type'
+  FROM x WHERE props IS NOT NULL AND tg_t IS NOT NULL AND tg_t <> 'ARRAY'
+  UNION ALL
+  SELECT event_id, props, 'minItems',
+         'tags has fewer than 1 items',
+         'props.jsonSchema.properties.tags.minItems'
+  FROM x WHERE props IS NOT NULL AND tg_t = 'ARRAY' AND tg_n < 1
+  UNION ALL
+  SELECT event_id, props, 'maxItems',
+         'tags has more than 3 items',
+         'props.jsonSchema.properties.tags.maxItems'
+  FROM x WHERE props IS NOT NULL AND tg_t = 'ARRAY' AND tg_n > 3
+  UNION ALL
+  SELECT event_id, props, 'type',
+         'tags items are not of type ''string''',
+         'props.jsonSchema.properties.tags.items.type'
+  FROM x WHERE props IS NOT NULL AND tg_t = 'ARRAY' AND NOT tg_all_str
+  UNION ALL
+  SELECT event_id, props, 'type',
+         'note is not of type ''string''',
+         'props.jsonSchema.properties.note.type'
+  FROM x WHERE props IS NOT NULL AND nt_t IS NOT NULL AND nt_t <> 'VARCHAR'
+  UNION ALL
+  SELECT event_id, props, 'minLength',
+         'note is shorter than 2 characters',
+         'props.jsonSchema.properties.note.minLength'
+  FROM x WHERE props IS NOT NULL AND nt_t = 'VARCHAR' AND length(nt_s) < 2
+  UNION ALL
+  SELECT event_id, props, 'maxLength',
+         'note is longer than 10 characters',
+         'props.jsonSchema.properties.note.maxLength'
+  FROM x WHERE props IS NOT NULL AND nt_t = 'VARCHAR' AND length(nt_s) > 10
 )
 SELECT '$.events_js_typed[' || CAST(event_id AS VARCHAR) || '].props' AS jsonpath,
        type, message, props AS instance, "check",

@@ -421,3 +421,70 @@ def test_json_schema_bounds_pattern_and_type_list(spark):
         ("5", "props.jsonSchema.properties.code.pattern"),
         ("6", "props.jsonSchema.properties.code.type"),
     }
+
+
+def test_json_schema_array_and_length_keywords(spark):
+    """minItems/maxItems/items.type apply to arrays only;
+    minLength/maxLength to strings only; exclusive bounds to numbers —
+    the full keyword set the reference's own constraint sub-schemas
+    use (data-package-2-0.json)."""
+    rows = [
+        (1, '{"tags": ["a", "b"], "s": "abc", "n": 5}'),  # all pass
+        (2, '{"tags": [], "s": "abc", "n": 5}'),  # minItems fail
+        (3, '{"tags": ["a","b","c","d"], "s": "abc", "n": 5}'),  # maxItems
+        (4, '{"tags": ["a", 2], "s": "abc", "n": 5}'),  # items.type fail
+        (5, '{"tags": "ab", "s": "abc", "n": 5}'),  # non-array: type fail only
+        (6, '{"tags": ["a"], "s": "x", "n": 5}'),  # minLength fail
+        (7, '{"tags": ["a"], "s": "xxxxxxxx", "n": 5}'),  # maxLength fail
+        (8, '{"tags": ["a"], "s": 99, "n": 5}'),  # non-string: len no-op
+        (9, '{"tags": ["a"], "s": "abc", "n": 0}'),  # exclusiveMin fail
+        (10, '{"tags": ["a"], "s": "abc", "n": 10}'),  # exclusiveMax fail
+    ]
+    df = spark.createDataFrame(rows, "id int, props string")
+    out = _violations(
+        df,
+        {
+            "name": "t",
+            "schema": {
+                "primaryKey": ["id"],
+                "fields": [
+                    {
+                        "name": "props",
+                        "type": "string",
+                        "constraints": {
+                            "jsonSchema": {
+                                "type": "object",
+                                "properties": {
+                                    "tags": {
+                                        "type": "array",
+                                        "minItems": 1,
+                                        "maxItems": 3,
+                                        "items": {"type": "string"},
+                                    },
+                                    "s": {
+                                        "minLength": 2,
+                                        "maxLength": 5,
+                                    },
+                                    "n": {
+                                        "exclusiveMinimum": 0,
+                                        "exclusiveMaximum": 10,
+                                    },
+                                },
+                            }
+                        },
+                    }
+                ],
+            },
+        },
+    )
+    got = {(r["row_key"], r["check"]) for r in out}
+    assert got == {
+        ("2", "props.jsonSchema.properties.tags.minItems"),
+        ("3", "props.jsonSchema.properties.tags.maxItems"),
+        ("4", "props.jsonSchema.properties.tags.items.type"),
+        ("5", "props.jsonSchema.properties.tags.type"),
+        ("6", "props.jsonSchema.properties.s.minLength"),
+        ("7", "props.jsonSchema.properties.s.maxLength"),
+        ("9", "props.jsonSchema.properties.n.exclusiveMinimum"),
+        ("10", "props.jsonSchema.properties.n.exclusiveMaximum"),
+    }
