@@ -351,6 +351,143 @@ class CheckConfig:
 # ---------------------------------------------------------------------------
 
 
+#: allowed JSON member types for an enum constraint, per field type —
+#: extracted from the reference schema's per-type constraint
+#: sub-schemas (data-package-2-0.json fields/items/oneOf: each ``enum``
+#: is an array of ONE item type, or a oneOf of such arrays). ``any``
+#: has no restriction; ``number`` accepts JSON integers too.
+_ENUM_MEMBER_TYPES = {
+    "string": ("string",),
+    "number": ("string", "number"),
+    "integer": ("string", "integer"),
+    "date": ("string",),
+    "time": ("string",),
+    "datetime": ("string",),
+    "year": ("string", "integer"),
+    "yearmonth": ("string",),
+    "boolean": ("boolean",),
+    "object": ("string", "object"),
+    "geopoint": ("string", "array", "object"),
+    "geojson": ("string", "object"),
+    "array": ("string", "array"),
+    "duration": ("string",),
+    "any": None,
+}
+
+
+def _json_type_name(v) -> str:
+    if isinstance(v, bool):  # before int: bool ⊂ int in Python
+        return "boolean"
+    if isinstance(v, str):
+        return "string"
+    if isinstance(v, int):
+        return "integer"
+    if isinstance(v, float):
+        return "number"
+    if isinstance(v, dict):
+        return "object"
+    if isinstance(v, (list, tuple)):
+        return "array"
+    return "null" if v is None else type(v).__name__
+
+
+def _enum_constraint_issues(f, enum, fpath: str) -> list:
+    """Spec-level enum constraint validation, reference parity
+    (ref check.py:728-783 + the per-type enum sub-schemas):
+
+    * empty enum → ``minItems`` (schema: minItems 1)
+    * duplicate values → ``uniqueItems``
+      (test_fail_field_with_non_unique_enum_values)
+    * single allowed member type, wrong member → raw per-item ``type``
+      issue at ``enum[i]`` (test_fail_simple_field_with_bad_enum_constraint)
+    * several allowed types (oneOf), all members same wrong type →
+      "The enum value type is not correct…" at ``enum``
+      (test_fail_complex_field_with_bad_enum_constraint)
+    * mixed member types fitting no single alternative →
+      "All enum values must be the same type." at ``enum``
+      (test_fail_field_with_mixed_type_enum_constraint)
+    """
+    from .issue import Issue
+
+    issues = []
+    epath = f"{fpath}.constraints.enum"
+    values = list(enum)
+    if not values:
+        issues.append(
+            Issue(
+                jsonpath=epath,
+                type="minItems",
+                message="enum must have at least one value",
+                instance=values,
+            )
+        )
+        return issues
+    try:
+        has_dups = len(set(values)) != len(values)
+    except TypeError:  # unhashable members (lists/dicts)
+        has_dups = any(
+            values[i] == values[j]
+            for i in range(len(values))
+            for j in range(i + 1, len(values))
+        )
+    if has_dups:
+        issues.append(
+            Issue(
+                jsonpath=epath,
+                type="uniqueItems",
+                message="enum values must be unique",
+                instance=values,
+            )
+        )
+
+    allowed = _ENUM_MEMBER_TYPES.get(f.type)
+    if allowed is None:  # "any": no member-type restriction
+        return issues
+
+    def fits(member_t: str, alt: str) -> bool:
+        return member_t == alt or (alt == "number" and member_t == "integer")
+
+    member_types = [_json_type_name(v) for v in values]
+    if any(all(fits(m, alt) for m in member_types) for alt in allowed):
+        return issues  # some alternative admits every member
+
+    if len(allowed) == 1:
+        # simple: the raw jsonschema per-item error shape
+        alt = allowed[0]
+        for i, (v, m) in enumerate(zip(values, member_types)):
+            if not fits(m, alt):
+                issues.append(
+                    Issue(
+                        jsonpath=f"{epath}[{i}]",
+                        type="type",
+                        message=f"{v!r} is not of type '{alt}'",
+                        instance=v,
+                    )
+                )
+    elif len(set(member_types)) > 1:
+        issues.append(
+            Issue(
+                jsonpath=epath,
+                type="type",
+                message="All enum values must be the same type.",
+                instance=values,
+            )
+        )
+    else:
+        issues.append(
+            Issue(
+                jsonpath=epath,
+                type="type",
+                message=(
+                    "The enum value type is not correct. Enum values "
+                    f"should be one of {', '.join(allowed)}."
+                ),
+                instance=values,
+            )
+        )
+    return issues
+
+
 def validate_spec(spec: TableSpec, version: str = "v2") -> list:
     """Validate a TableSpec the way the reference validates a descriptor.
 
@@ -435,18 +572,7 @@ def validate_spec(spec: TableSpec, version: str = "v2") -> list:
                 )
             )
         if c.enum is not None:
-            # Mixed-type enum values → single message
-            # (ref _handle_…_constraints_enum check.py:728-783).
-            vtypes = {type(v).__name__ for v in c.enum}
-            if len(vtypes) > 1:
-                issues.append(
-                    Issue(
-                        jsonpath=f"{fpath}.constraints.enum",
-                        type="type",
-                        message="All enum values must be the same type.",
-                        instance=list(c.enum),
-                    )
-                )
+            issues.extend(_enum_constraint_issues(f, c.enum, fpath))
 
     # Primary key fields must exist (ref check.py:340-358; "" flagged too).
     unknown_pk = [k for k in spec.primary_key if k not in names]

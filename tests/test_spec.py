@@ -132,9 +132,13 @@ def test_fk_missing_dest_fields_cross_resource():
 
 
 def test_mixed_type_enum_values():
-    # ref _handle_…_constraints_enum check.py:728-783 exact message
+    # ref _handle_…_constraints_enum check.py:728-783 exact message.
+    # The grouped "same type" message arises on oneOf-alternative types
+    # (number admits strings OR numbers, never a mix) — a plain string
+    # field gets the raw per-item jsonschema error instead (see
+    # test_enum_simple_wrong_member_type).
     spec = make_spec(
-        fields=[{"name": "x", "type": "string", "constraints": {"enum": ["a", 1]}}], primaryKey=[]
+        fields=[{"name": "x", "type": "number", "constraints": {"enum": ["a", 1]}}], primaryKey=[]
     )
     issues = validate_spec(spec)
     assert any(i.message == "All enum values must be the same type." for i in issues)
@@ -316,3 +320,78 @@ def test_explain_subject_wording():
     assert "found in your [u]datapackage.json[/u]" in explain(
         issues, subject="datapackage.json"
     )
+
+
+# --- enum constraint spec validation (ref test_check.py:758-831) ------------
+
+
+def _enum_issues(ftype, enum):
+    from check_datapackage_spark.spec import TableSpec, validate_spec
+
+    spec = TableSpec.from_dict(
+        {
+            "name": "t",
+            "schema": {
+                "fields": [
+                    {"name": "a", "type": ftype, "constraints": {"enum": enum}}
+                ]
+            },
+        }
+    )
+    return validate_spec(spec)
+
+
+def test_enum_non_unique_values():
+    """ref test_fail_field_with_non_unique_enum_values."""
+    issues = _enum_issues("number", [1, 1])
+    assert len(issues) == 1
+    assert issues[0].type == "uniqueItems"
+    assert issues[0].jsonpath == "$.t.schema.fields[0].constraints.enum"
+
+
+def test_enum_simple_wrong_member_type():
+    """ref test_fail_simple_field_with_bad_enum_constraint: default
+    string field expects string members — raw per-item error at [i]."""
+    issues = _enum_issues("string", [1])
+    assert len(issues) == 1
+    assert issues[0].type == "type"
+    assert issues[0].jsonpath == "$.t.schema.fields[0].constraints.enum[0]"
+    assert issues[0].message == "1 is not of type 'string'"
+
+
+def test_enum_complex_wrong_member_type():
+    """ref test_fail_complex_field_with_bad_enum_constraint: number
+    field admits string-or-number members; an object fits neither."""
+    issues = _enum_issues("number", [{}])
+    assert len(issues) == 1
+    assert issues[0].type == "type"
+    assert issues[0].jsonpath == "$.t.schema.fields[0].constraints.enum"
+    assert issues[0].message == (
+        "The enum value type is not correct. Enum values should be one "
+        "of string, number."
+    )
+
+
+def test_enum_mixed_member_types():
+    """ref test_fail_field_with_mixed_type_enum_constraint."""
+    issues = _enum_issues("geopoint", [{}, [], "string", 1])
+    assert len(issues) == 1
+    assert issues[0].type == "type"
+    assert issues[0].message == "All enum values must be the same type."
+
+
+def test_enum_valid_shapes_pass():
+    # number admits all-ints, all-floats, int+float mix, or all-strings
+    assert _enum_issues("number", [1, 2.5]) == []
+    assert _enum_issues("number", ["a", "b"]) == []
+    # integer admits ints or strings, not floats
+    assert len(_enum_issues("integer", [1.5])) == 1
+    # bools are never integers (Python bool ⊂ int trap)
+    assert len(_enum_issues("integer", [True])) == 1
+    # any: unrestricted
+    assert _enum_issues("any", [{}, 1, "x"]) == []
+
+
+def test_enum_empty_is_min_items():
+    issues = _enum_issues("string", [])
+    assert len(issues) == 1 and issues[0].type == "minItems"
