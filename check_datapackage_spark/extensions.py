@@ -42,16 +42,27 @@ class CustomCheck:
 
     type: str
     message: str
-    column: str
-    check: Callable[[pd.Series], pd.Series] = field(compare=False, hash=False)
+    column: Optional[str] = None
+    check: Callable[[pd.Series], pd.Series] = field(
+        default=None, compare=False, hash=False
+    )
+    jsonpath: Optional[str] = None
 
     def __post_init__(self) -> None:
         if self.type == "required":
             raise ExtensionError(
                 'The "required" type is reserved; use RequiredCheck instead.'
             )
+        if self.check is None:
+            raise ExtensionError("CustomCheck needs a `check` callable.")
+        if (self.column is None) == (self.jsonpath is None):
+            raise ExtensionError(
+                "CustomCheck needs exactly one of `column` or `jsonpath`."
+            )
+        if self.jsonpath is not None:
+            _parse_custom_jsonpath(self.jsonpath)  # ValueError parity
 
-    def compile(self) -> CompiledCheck:
+    def _ok_udf(self):
         fn = self.check
 
         @F.pandas_udf(T.BooleanType())
@@ -59,15 +70,90 @@ class CustomCheck:
             out = fn(s)
             return out.astype(bool)
 
+        return _ok
+
+    def _ok_array_udf(self):
+        """Per-item predicate over ``array<leaf>`` values: flatten the
+        batch's items into one Series, run the user's vectorized check
+        ONCE, regroup to an all-items-pass boolean per row. Null arrays
+        and null items are no-ops (ref: unmatched paths)."""
+        fn = self.check
+
+        @F.pandas_udf(T.BooleanType())
+        def _ok(s: pd.Series) -> pd.Series:
+            vals = [None if v is None else list(v) for v in s]
+            flat = pd.Series(
+                [x for v in vals if v is not None for x in v], dtype=object
+            )
+            passed = pd.Series(True, index=flat.index, dtype=bool)
+            nn = flat.notna()
+            if nn.any():
+                res = pd.Series(fn(flat[nn]))
+                passed.loc[nn] = res.astype(bool).to_numpy()
+            out, pos = [], 0
+            for v in vals:
+                if v is None:
+                    out.append(True)
+                else:
+                    n = len(v)
+                    out.append(bool(passed.iloc[pos : pos + n].all()))
+                    pos += n
+            return pd.Series(out)
+
+        return _ok
+
+    def compile(self) -> CompiledCheck:
+        if self.column is None:
+            raise ExtensionError(
+                "jsonpath CustomCheck needs the DataFrame schema — "
+                "use compile_all(schema) (check_table does this)."
+            )
         col = F.col(self.column)
         return CompiledCheck(
             name=f"{self.column}.custom.{self.type}",
             column=self.column,
             issue_type=self.type,
             message=self.message,
-            ok=col.isNull() | _ok(col),
+            ok=col.isNull() | self._ok_udf()(col),
             instance=col.cast("string"),
         )
+
+    def compile_all(self, schema=None) -> list[CompiledCheck]:
+        """One CompiledCheck per resolved jsonpath target (ref
+        ``CustomCheck.apply``, extensions.py:72-93: the predicate runs
+        on every field matching the path; unmatched paths are no-ops).
+        """
+        if self.column is not None:
+            return [self.compile()]
+        if schema is None:
+            raise ExtensionError(
+                "jsonpath CustomCheck requires a schema to derive targets."
+            )
+        checks = []
+        for alt in _parse_custom_jsonpath(self.jsonpath):
+            for t in _resolve_targets(schema, alt):
+                display = t.path.removeprefix("$.")
+                if t.in_arr:
+                    vals = F.transform(t.arr, t.item_fn)
+                    ok = t.arr.isNull() | self._ok_array_udf()(vals)
+                    instance = F.lit(None).cast("string")
+                else:
+                    leaf = t.expr
+                    ok = leaf.isNull() | self._ok_udf()(leaf)
+                    if t.na is not None:
+                        ok = t.na | ok
+                    instance = leaf.cast("string")
+                checks.append(
+                    CompiledCheck(
+                        name=f"{display}.custom.{self.type}",
+                        column=t.root_col,
+                        issue_type=self.type,
+                        message=self.message,
+                        ok=ok,
+                        instance=instance,
+                    )
+                )
+        return checks
 
 
 # --- RequiredCheck jsonpath target derivation -------------------------------
@@ -81,7 +167,18 @@ class CustomCheck:
 # a wildcard, or an index raise, as does the `&` intersection operator.
 
 
-def _parse_jsonpath_segments(path: str) -> list[list[tuple]]:
+def _parse_custom_jsonpath(path: str) -> list[list[tuple]]:
+    """CustomCheck paths: same grammar, but any leaf selector is fine
+    (the reference routes CustomCheck through the general jsonpath
+    library — only RequiredCheck restricts to name-selector leaves)."""
+    return _parse_jsonpath_segments(
+        path, require_name_leaf=False, label="CustomCheck"
+    )
+
+
+def _parse_jsonpath_segments(
+    path: str, require_name_leaf: bool = True, label: str = "RequiredCheck"
+) -> list[list[tuple]]:
     """Parse a RequiredCheck jsonpath into path alternatives (split on
     top-level ``|``), each a list of segment tuples:
     ``("name", [names])``, ``("wild",)``, ``("wild_arr",)``,
@@ -89,7 +186,7 @@ def _parse_jsonpath_segments(path: str) -> list[list[tuple]]:
     """
     if "&" in path:
         raise ValueError(
-            f"Cannot use the JSON path `{path}` in `RequiredCheck`: the "
+            f"Cannot use the JSON path `{path}` in `{label}`: the "
             "`&` intersection operator is not supported."
         )
     alts = []
@@ -200,11 +297,43 @@ def _parse_jsonpath_segments(path: str) -> list[list[tuple]]:
 
 @dataclass(frozen=True)
 class _Target:
-    """A resolved RequiredCheck target: leaf expression + addressing."""
+    """A resolved jsonpath target: leaf addressing shared by
+    RequiredCheck (null test) and CustomCheck (user predicate).
 
-    ok: object  # Column
+    For scalar targets ``expr`` is the leaf Column and ``na`` (optional)
+    is true when the path matches nothing (null parent / short array) ⇒
+    the check is a no-op. For array-crossing targets (``in_arr``),
+    ``arr`` is the array Column and ``item_fn`` maps one item Column to
+    the leaf value — checks run per-item.
+    """
+
     path: str  # dotted display path
     root_col: str  # top-level DataFrame column the target lives under
+    in_arr: bool
+    expr: object = None  # Column (scalar targets)
+    na: object = None  # Column: true ⇒ unmatched path ⇒ no-op
+    arr: object = None  # Column (array targets)
+    item_fn: object = None  # item Column -> leaf Column
+
+    def required_ok(self):
+        """Null-check predicate (RequiredCheck semantics)."""
+        if self.in_arr:
+            # NB: bind the leaf fn via a factory, not a lambda default —
+            # Spark's higher-order functions introspect the lambda's
+            # parameter count and would pass a Column for the default.
+            leaf = self.item_fn
+            item_pred = (
+                lambda _leaf: lambda x: x.isNull() | _leaf(x).isNotNull()
+            )(leaf)
+            return self.arr.isNull() | F.forall(self.arr, item_pred)
+        ok = self.expr.isNotNull()
+        # an unmatched path (null parent, null/short array before an
+        # index segment) is a no-op ⇒ pass (ref: unmatched paths);
+        # `na` was built from the expression chain during descent, so
+        # index segments are guarded too (ADVICE r2).
+        if self.na is not None:
+            ok = self.na | ok
+        return ok
 
 
 def _struct_children(dtype) -> dict:
@@ -352,25 +481,16 @@ def _resolve_targets(schema, segments: list[tuple], path_so_far: str = "$"):
     for c in cands:
         if c["root"] is None:
             continue  # `$` alone — matches nothing actionable
-        if c["in_arr"]:
-            arr, leaf = c["arr"], c["item_fn"]
-            # NB: bind `leaf` via a factory, not a lambda default —
-            # Spark's higher-order functions introspect the lambda's
-            # parameter count and would pass a Column for the default.
-            item_pred = (lambda _leaf: lambda x: x.isNull() | _leaf(x).isNotNull())(
-                leaf
-            )
-            ok = arr.isNull() | F.forall(arr, item_pred)
-        else:
-            ok = c["expr"].isNotNull()
-            # an unmatched path (null parent, null/short array before
-            # an index segment) is a no-op ⇒ pass (ref: unmatched
-            # paths); `na` was built from the expression chain during
-            # descent, so index segments are guarded too (ADVICE r2).
-            if c["na"] is not None:
-                ok = c["na"] | ok
         targets.append(
-            _Target(ok=ok, path=c["path"], root_col=c["root"])
+            _Target(
+                path=c["path"],
+                root_col=c["root"],
+                in_arr=c["in_arr"],
+                expr=None if c["in_arr"] else c["expr"],
+                na=None if c["in_arr"] else c["na"],
+                arr=c["arr"],
+                item_fn=c["item_fn"],
+            )
         )
     return targets
 
@@ -441,7 +561,7 @@ class RequiredCheck:
                         issue_type="required",
                         message=self.message
                         or f"{display} is a required property",
-                        ok=t.ok,
+                        ok=t.required_ok(),
                         instance=F.lit(None).cast("string"),
                     )
                 )

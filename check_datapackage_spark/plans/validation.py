@@ -354,7 +354,23 @@ def check_table(
 
         spec_issues.extend(strict_spec_issues(spec))
 
-    checks = compile_table_checks(spec, extra=extra_checks, schema=df.schema)
+    # extra_checks accepts CompiledCheck objects AND raw extension
+    # objects (CustomCheck/RequiredCheck — ref check(extensions=...),
+    # check.py:250); the latter compile here against the physical
+    # schema so jsonpath targets resolve.
+    extra: Optional[list[CompiledCheck]] = None
+    if extra_checks:
+        extra = []
+        for x in extra_checks:
+            if isinstance(x, CompiledCheck):
+                extra.append(x)
+            elif hasattr(x, "compile_all"):
+                extra.extend(x.compile_all(df.schema))
+            elif hasattr(x, "compile"):
+                extra.append(x.compile())
+            else:
+                raise TypeError(f"not a check or extension: {x!r}")
+    checks = compile_table_checks(spec, extra=extra, schema=df.schema)
     actual_cols = set(df.columns)
     # dotted column paths (nested RequiredCheck targets) are runnable
     # when their ROOT column exists

@@ -297,3 +297,101 @@ def test_strict_flag_flows_through_check_table(spark):
     assert any(i.type == "pattern" for i in res.spec_issues)
     res2 = check_table(df, spec, config=CheckConfig(strict=False))
     assert not any(i.type == "pattern" for i in res2.spec_issues)
+
+
+# --- CustomCheck jsonpath targets (ref test_extensions.py:27-117) -----------
+
+
+def test_custom_check_direct_jsonpath(spark, nested_df):
+    """ref test_direct_jsonpath: a scalar path applies the predicate
+    to that value; violations carry the check's type/message."""
+    from check_datapackage_spark.extensions import CustomCheck
+
+    chk = CustomCheck(
+        type="lowercase",
+        message="meta id must be lowercase",
+        jsonpath="$.meta.id",
+        check=lambda s: s == s.str.lower(),
+    )
+    upper = nested_df.withColumn(
+        "meta",
+        F.when(
+            F.col("id") == 1,
+            F.struct(F.lit("M1").alias("id"), F.col("meta.title").alias("title")),
+        ).otherwise(F.col("meta")),
+    )
+    rows = run_checks(upper, compile_extensions([chk], schema=upper.schema))
+    assert keys(rows) == {("1", "meta.id.custom.lowercase")}
+    assert rows[0]["type"] == "lowercase"
+    assert rows[0]["message"] == "meta id must be lowercase"
+
+
+def test_custom_check_array_jsonpath(spark, nested_df):
+    """ref test_indirect_jsonpath analog: [*] targets check every
+    non-null item; null/empty arrays and null items are no-ops."""
+    from check_datapackage_spark.extensions import CustomCheck
+
+    chk = CustomCheck(
+        type="name-style",
+        message="contributor names must be lowercase",
+        jsonpath="$.contributors[*].name",
+        check=lambda s: s == s.str.lower(),
+    )
+    staged = nested_df.withColumn(
+        "contributors",
+        F.when(
+            F.col("id") == 2,
+            F.expr(
+                "array(named_struct('name', 'ALICE', 'title', 'Mx'),"
+                " named_struct('name', 'bob', 'title', 'Dr'))"
+            ),
+        ).otherwise(F.col("contributors")),
+    )
+    rows = run_checks(staged, compile_extensions([chk], schema=staged.schema))
+    assert keys(rows) == {("2", "contributors[*].name.custom.name-style")}
+
+
+def test_custom_check_unmatched_jsonpath_is_noop(spark, nested_df):
+    """ref test_no_matching_jsonpath."""
+    from check_datapackage_spark.extensions import CustomCheck
+
+    chk = CustomCheck(
+        type="x",
+        message="m",
+        jsonpath="$.nonexistent.path",
+        check=lambda s: s == "never",
+    )
+    assert compile_extensions([chk], schema=nested_df.schema) == []
+
+
+@pytest.mark.parametrize(
+    "bad",
+    ["<><>bad.path", "$.no & $.intersection", "$.no & $.intersection | $.operator"],
+)
+def test_custom_check_bad_path_raises(bad):
+    """ref test_custom_check_cannot_apply_to_bad_path."""
+    from check_datapackage_spark.extensions import CustomCheck
+
+    with pytest.raises(ValueError):
+        CustomCheck(type="x", message="m", jsonpath=bad, check=lambda s: s)
+
+
+def test_custom_check_required_type_forbidden_with_jsonpath():
+    """ref test_custom_check_cannot_be_type_required."""
+    from check_datapackage_spark.extensions import CustomCheck
+
+    with pytest.raises(ValueError):
+        CustomCheck(
+            type="required", message="m", jsonpath="$.name", check=lambda s: s
+        )
+
+
+def test_custom_check_needs_exactly_one_target():
+    from check_datapackage_spark.extensions import CustomCheck
+
+    with pytest.raises(ValueError):
+        CustomCheck(type="x", message="m", check=lambda s: s)
+    with pytest.raises(ValueError):
+        CustomCheck(
+            type="x", message="m", column="a", jsonpath="$.a", check=lambda s: s
+        )
