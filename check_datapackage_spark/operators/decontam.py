@@ -1,0 +1,175 @@
+"""Benchmark decontamination, intra-document repetition quality, and
+PII detection/redaction — training-data-pipeline operators (task brief;
+no reference analog: check-datapackage stops at descriptor checks).
+
+Scale shapes (100 TB corpus):
+
+* **Decontamination** — the benchmark side is small (10^5-10^7 n-grams
+  even for large eval suites), so contamination is a broadcast
+  semi-join: corpus n-grams are generated map-side (explode of a
+  higher-order-function shingle array, one pass over text) and probed
+  against the broadcast benchmark n-gram set. The corpus is NEVER
+  shuffled; output is doc_id + overlap stats only.
+* **Repetition** — pure per-row expressions over the word array
+  (higher-order functions; whole-stage codegen, no UDF, no shuffle).
+* **PII** — regexp_count / regexp_replace chains, also codegen.
+  All three are DuckDB-expressible for exact oracle checks.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import shingles
+from .text import normalize_text
+
+# ---------------------------------------------------------------------------
+# decontamination
+# ---------------------------------------------------------------------------
+
+
+def contaminated_docs(
+    corpus: DataFrame,
+    bench: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: Optional[str] = None,
+) -> DataFrame:
+    """Corpus docs sharing ≥1 word ``n``-gram with any benchmark doc.
+
+    Output: (doc_id, n_shared) — number of DISTINCT corpus n-grams that
+    appear anywhere in the benchmark. ``n_shared`` drives the usual
+    policy split (drop / flag / keep with span masking).
+
+    Plan: benchmark n-grams are deduped then broadcast; corpus n-grams
+    explode map-side and inner-join the broadcast set, so the only
+    aggregation shuffle carries (doc_id, shared-gram) hits — a vanishing
+    fraction of the corpus at any realistic contamination rate.
+    """
+    bench_text = bench_text_col or text_col
+    bgrams = (
+        bench.select(F.explode(shingles(F.col(bench_text), n)).alias("g"))
+        .distinct()
+    )
+    cgrams = corpus.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("g")
+    )
+    return (
+        cgrams.join(F.broadcast(bgrams), "g")
+        .groupBy(id_col)
+        .agg(F.count_distinct("g").alias("n_shared"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# repetition (Gopher-style quality signals)
+# ---------------------------------------------------------------------------
+
+
+def word_array(col: Column) -> Column:
+    """Words of the normalized text (lowercase, whitespace-split)."""
+    return F.split(normalize_text(col), " ")
+
+
+def dup_ngram_fraction(col: Column, n: int = 3) -> Column:
+    """Fraction of word ``n``-grams that are repeats of an earlier one:
+    ``1 - distinct/total`` (0.0 for docs shorter than ``n`` words).
+
+    The Gopher repetition filter's core signal; codegen higher-order
+    functions only, so it fuses into any single-pass profile scan.
+    """
+    words = word_array(col)
+    total = F.size(words) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(total, F.lit(1))),
+        lambda s: F.array_join(F.slice(words, s, n), " "),
+    )
+    return F.when(total <= 0, F.lit(0.0)).otherwise(
+        F.round(1.0 - F.size(F.array_distinct(grams)) / total.cast("double"), 6)
+    )
+
+
+def top_word_fraction(col: Column) -> Column:
+    """Occurrence fraction of the single most frequent word — the other
+    Gopher repetition signal (catches ``spam spam spam`` pages).
+
+    aggregate() over the distinct-word array keeps this a pure
+    expression: for each distinct word, count occurrences via filter();
+    track the max. O(distinct × words) per row — bounded by doc length,
+    zero shuffle.
+    """
+    words = word_array(col)
+    distinct = F.array_distinct(words)
+    max_cnt = F.aggregate(
+        distinct,
+        F.lit(0),
+        lambda acc, w: F.greatest(
+            acc, F.size(F.filter(words, lambda x: x == w))
+        ),
+    )
+    return F.when(F.size(words) <= 0, F.lit(0.0)).otherwise(
+        F.round(max_cnt / F.size(words).cast("double"), 6)
+    )
+
+
+def repetition_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Per-doc repetition signals: (id, dup_ngram_frac, top_word_frac)."""
+    c = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        dup_ngram_fraction(c, n).alias("dup_ngram_frac"),
+        top_word_fraction(c).alias("top_word_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction
+# ---------------------------------------------------------------------------
+
+#: Detection patterns — deliberately conservative, RE2/Java-regex
+#: compatible (no backrefs/lookarounds) so DuckDB twins are exact.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
+    "phone": r"\b\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b",
+    "ssn": r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
+}
+
+
+def pii_counts(col: Column) -> dict[str, Column]:
+    """Per-type PII match counts (regexp_count, codegen)."""
+    return {t: F.regexp_count(col, F.lit(p)) for t, p in PII_PATTERNS.items()}
+
+
+def redact_pii(col: Column, token: str = "[PII]") -> Column:
+    """Replace every PII match with ``token``. Order matters: ssn/phone
+    before ipv4 (digit runs), email first (may contain dots/digits)."""
+    out = col
+    for t in ["email", "ssn", "phone", "ipv4"]:
+        out = F.regexp_replace(out, PII_PATTERNS[t], token)
+    return out
+
+
+def pii_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc PII counts + redacted-text fingerprint:
+    (id, n_email, n_ipv4, n_phone, n_ssn, redacted_md5)."""
+    c = F.col(text_col)
+    counts = pii_counts(c)
+    return df.select(
+        F.col(id_col),
+        *[counts[t].cast("long").alias(f"n_{t}") for t in PII_PATTERNS],
+        F.md5(redact_pii(c)).alias("redacted_md5"),
+    )

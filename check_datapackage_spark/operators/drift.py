@@ -141,6 +141,17 @@ def drift_by_group(
     conventional 'significant shift').
     """
     h = histogram(df, column, lo, hi, n_buckets, by=by).cache()
+    return drift_from_histogram(h, by, eps=eps)
+
+
+def drift_from_histogram(h: DataFrame, by: str, eps: float = 1e-9) -> DataFrame:
+    """PSI/KL of each group vs the global, from a precomputed
+    (by, bucket, count) histogram — the shared core of
+    :func:`drift_by_group` and :func:`token_histogram` drift (q39).
+
+    The global reference is re-aggregated from the per-group histogram
+    (no second scan); all side tables are tiny (≤ groups × buckets rows)
+    and broadcast."""
     total = h.groupBy("bucket").agg(F.sum("count").alias("gcount"))
     gt = h.groupBy(by).agg(F.sum("count").alias("gn"))
     tt = total.agg(F.sum("gcount").alias("tn"))

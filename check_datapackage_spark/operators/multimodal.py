@@ -44,6 +44,7 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("doc_id", T.StringType(), False),
         T.StructField("byte_len", T.LongType(), False),
         T.StructField("sha1", T.StringType(), False),
+        T.StructField("sha256", T.StringType(), False),
         T.StructField("features", T.ArrayType(T.FloatType()), True),
     ]
 )
@@ -146,7 +147,7 @@ def extract_features(
 ) -> DataFrame:
     """Decode/feature-extract via ``mapInPandas`` (Arrow batches).
 
-    Output: FEATURE_SCHEMA (id, byte_len, sha1, features). The payload
+    Output: FEATURE_SCHEMA (id, byte_len, sha1, sha256, features). The payload
     column is dropped on output — downstream stages never reshuffle
     blobs.
     """
@@ -178,6 +179,9 @@ def extract_features(
                     "doc_id": pdf[id_col].to_numpy(),
                     "byte_len": [len(p) for p in payloads],
                     "sha1": [hashlib.sha1(p).hexdigest() for p in payloads],
+                    # sha256 doubles as the oracle handle: DuckDB has no
+                    # sha1(), so the q22 correctness twin keys on this
+                    "sha256": [hashlib.sha256(p).hexdigest() for p in payloads],
                     "features": feats,
                 }
             )

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .operators import dedup, drift, multimodal, referential, similarity, stats, text, uniqueness
+from .operators import decontam, dedup, drift, multimodal, referential, similarity, stats, text, uniqueness
 from .operators.drift import bucket_sql
 from .plans.validation import violations_plan
 from .spec import CheckConfig, Exclusion, TableSpec
@@ -704,7 +704,58 @@ ORDER BY id_a, id_b
 
 def q20_simhash_near_dups(spark, sf_dir):
     d = _docs_with_planted_dups(spark, sf_dir)
-    return dedup.simhash_near_dups(d, max_hamming=3).orderBy("id_a", "id_b")
+    out = dedup.simhash_near_dups(d, max_hamming=3)
+    return out.select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    ).orderBy("id_a", "id_b")
+
+
+#: Exact all-pairs SimHash twin of q20: the signature function is fully
+#: deterministic SQL-expressible math (md5 of each lowercased
+#: whitespace-split word, first 8 digest bytes little-endian masked to
+#: 60 bits, per-bit majority vote — verified bit-identical to the
+#: pandas-UDF path in tests/test_text_dedup.py), and the Spark plan's
+#: 4×15-bit pigeonhole candidate generation is COMPLETE for
+#: hamming ≤ 3 (4 chunks, ≤3 differing bits → ≥1 untouched chunk), so
+#: the banded candidate set filtered to hamming ≤ 3 EQUALS the exact
+#: all-pairs set — no recall caveat at any scale. The oracle computes
+#: the O(N²) baseline; Spark keeps the chunk-bucketed linear plan.
+Q20_SQL = r"""
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 10
+  UNION ALL SELECT doc_id + 2000000, text || ' appended tail marker'
+  FROM documents WHERE doc_id < 10),
+words AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            x -> x <> '')) AS w
+  FROM aug),
+wc AS (SELECT doc_id, w, COUNT(*) AS cnt FROM words GROUP BY 1, 2),
+hv AS (
+  SELECT doc_id, cnt,
+    CAST('0x' || substr(h,15,2)||substr(h,13,2)||substr(h,11,2)||
+         substr(h,9,2)||substr(h,7,2)||substr(h,5,2)||substr(h,3,2)||
+         substr(h,1,2) AS UBIGINT) & 1152921504606846975 AS v
+  FROM (SELECT doc_id, cnt, md5(w) AS h FROM wc)),
+bits AS (
+  SELECT doc_id, k, SUM(cnt * ((v >> k) & 1)) AS ones, SUM(cnt) AS n
+  FROM hv, (SELECT unnest(range(60)) AS k)
+  GROUP BY 1, 2),
+sig0 AS (
+  SELECT doc_id,
+         SUM(CASE WHEN 2*ones > n THEN (CAST(1 AS UBIGINT) << k)
+             ELSE 0 END) AS sig
+  FROM bits GROUP BY 1),
+sig AS (
+  SELECT a.doc_id, COALESCE(s.sig, 0) AS sig
+  FROM aug a LEFT JOIN sig0 s ON a.doc_id = s.doc_id)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= 3
+ORDER BY id_a, id_b
+"""
 
 
 def q21_lsh_ann(spark, sf_dir):
@@ -723,8 +774,28 @@ def q21_lsh_ann(spark, sf_dir):
 def q22_multimodal_features(spark, sf_dir):
     assets = multimodal.synth_assets(spark, 64)
     return multimodal.extract_features(assets).select(
-        "doc_id", "byte_len", "sha1"
+        "doc_id", "byte_len", "sha256"
     ).orderBy("doc_id")
+
+
+#: Exact twin of q22: ``synth_assets`` payloads are a pure function of
+#: the row index (``('asset-%06d' % i * 7)[:100]``, ASCII), so DuckDB
+#: can rebuild every payload inline and sha256 it — no table needed.
+#: This pins the mapInPandas plumbing per row (Arrow batch alignment,
+#: bulk byte conversion, output schema); the sha1-seeded feature vector
+#: stays covered by pytest determinism tests.
+Q22_SQL = r"""
+WITH ids AS (SELECT unnest(range(64)) AS i),
+p AS (
+  SELECT i,
+         substr(repeat('asset-' || lpad(CAST(i AS VARCHAR), 6, '0'), 7),
+                1, 100) AS payload
+  FROM ids)
+SELECT 'doc-' || lpad(CAST(i AS VARCHAR), 6, '0') AS doc_id,
+       CAST(length(payload) AS BIGINT) AS byte_len,
+       sha256(payload) AS sha256
+FROM p ORDER BY doc_id
+"""
 
 
 def q23_exact_dedup_rows(spark, sf_dir):
@@ -1565,6 +1636,230 @@ ORDER BY jsonpath, type, "check"
 """
 
 
+# ---------------------------------------------------------------------------
+# q39 — token-VALUE histogram drift between partitions (north-star op)
+# ---------------------------------------------------------------------------
+
+#: Shared vocab / bucketing for q39 — both engines derive token ids
+#: from the same md5 word hash so the oracle is exact.
+_Q39_VOCAB = 50257
+_Q39_BUCKETS = 256
+_Q39_WIDTH = (_Q39_VOCAB + _Q39_BUCKETS - 1) // _Q39_BUCKETS  # 197
+
+
+def q39_token_hist_drift(spark, sf_dir):
+    """Per-source drift of the token-VALUE distribution vs the global.
+
+    The north star names "distribution drift of n_tok and token-value
+    histograms between partitions" — q09/q28 cover scalar columns; this
+    covers the array<int> tokens themselves. The tokenizer (md5 word →
+    id mod vocab) is deterministic and shared with the DuckDB twin; the
+    histogram path is :func:`drift.token_histogram`'s vectorized Arrow
+    bincount, which never explodes the token arrays (shuffle traffic is
+    |tasks| × n_buckets longs, not 10^15 token rows at 10^12 docs).
+    """
+    docs = _t(spark, sf_dir, "documents")
+    words = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda w: w != F.lit("")
+    )
+    tokens = F.transform(
+        words,
+        lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long")
+        % _Q39_VOCAB,
+    )
+    tok = docs.select("source", tokens.alias("tokens"))
+    h = drift.token_histogram(
+        tok, "tokens", vocab=_Q39_VOCAB, n_buckets=_Q39_BUCKETS, by="source"
+    )
+    d = drift.drift_from_histogram(h, "source")
+    return d.select(
+        "source", F.round("kl", 4).alias("kl"), F.round("psi", 4).alias("psi")
+    ).orderBy("source")
+
+
+Q39_SQL = rf"""
+WITH w AS (
+  SELECT source,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            x -> x <> '')) AS w
+  FROM documents),
+t AS (
+  SELECT source,
+         (CAST('0x' || substr(md5(w), 1, 8) AS UBIGINT) % {_Q39_VOCAB})
+           // {_Q39_WIDTH} AS bucket
+  FROM w),
+h AS (SELECT source, bucket, COUNT(*) AS c FROM t GROUP BY 1, 2),
+tot AS (SELECT bucket, SUM(c) AS gcount FROM h GROUP BY 1),
+gt AS (SELECT source, SUM(c) AS gn FROM h GROUP BY 1),
+tt AS (SELECT SUM(gcount) AS tn FROM tot),
+j AS (
+  SELECT h.source,
+         GREATEST(h.c / gt.gn, 1e-9) AS pa,
+         GREATEST(tot.gcount / tt.tn, 1e-9) AS pb
+  FROM h JOIN tot USING (bucket) JOIN gt USING (source), tt)
+SELECT source,
+       ROUND(SUM(pa * LN(pa / pb)), 4) AS kl,
+       ROUND(SUM((pa - pb) * LN(pa / pb)), 4) AS psi
+FROM j GROUP BY source ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# q40 — benchmark decontamination (broadcast n-gram semi-join)
+# ---------------------------------------------------------------------------
+
+
+def q40_decontamination(spark, sf_dir):
+    """Corpus docs sharing a 5-gram with the 'benchmark' slice
+    (doc_id % 97 == 0 stands in for an eval set). Docs 1-10 get a
+    verbatim benchmark passage appended (ids +3M) — the planted
+    contamination both engines reproduce — on top of any natural
+    overlap. The benchmark n-gram set is broadcast; the corpus is
+    scanned once and never shuffled — the only shuffled rows are the
+    contamination hits themselves."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    corpus = docs.where(F.col("doc_id") % 97 != 0).select("doc_id", "text")
+    b0 = bench.where(F.col("doc_id") == 0).select(F.col("text").alias("btext"))
+    planted = (
+        corpus.where(F.col("doc_id").between(1, 10))
+        .crossJoin(F.broadcast(b0))
+        .select(
+            (F.col("doc_id") + 3_000_000).alias("doc_id"),
+            F.concat("text", F.lit(" "), "btext").alias("text"),
+        )
+    )
+    out = decontam.contaminated_docs(corpus.unionByName(planted), bench, n=5)
+    return out.orderBy("doc_id")
+
+
+Q40_SQL = r"""
+WITH corpus0 AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0),
+planted AS (
+  SELECT c.doc_id + 3000000 AS doc_id, c.text || ' ' || b.text AS text
+  FROM corpus0 c, (SELECT text FROM documents WHERE doc_id = 0) b
+  WHERE c.doc_id BETWEEN 1 AND 10),
+corpus AS (SELECT * FROM corpus0 UNION ALL SELECT * FROM planted),
+cnorm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+  FROM corpus),
+cw AS (SELECT doc_id, string_split(t, ' ') AS words FROM cnorm),
+cidx AS (SELECT doc_id, words,
+                unnest(generate_series(1, greatest(len(words)-4, 1))) AS i
+         FROM cw),
+csh AS (SELECT DISTINCT doc_id, array_to_string(words[i:i+4], ' ') AS g
+        FROM cidx),
+bnorm AS (
+  SELECT trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+  FROM documents WHERE doc_id % 97 = 0),
+bw AS (SELECT string_split(t, ' ') AS words FROM bnorm),
+bidx AS (SELECT words,
+                unnest(generate_series(1, greatest(len(words)-4, 1))) AS i
+         FROM bw),
+bg AS (SELECT DISTINCT array_to_string(words[i:i+4], ' ') AS g FROM bidx)
+SELECT doc_id, CAST(COUNT(DISTINCT g) AS BIGINT) AS n_shared
+FROM (SELECT s.doc_id, s.g FROM csh s JOIN bg USING (g))
+GROUP BY 1 ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# q41 — intra-doc repetition quality (Gopher-style signals)
+# ---------------------------------------------------------------------------
+
+
+def q41_repetition(spark, sf_dir):
+    """Per-doc duplicate-3-gram fraction + top-word fraction — the two
+    Gopher repetition filters. Pure codegen higher-order functions (no
+    UDF, no shuffle); bounded to doc_id < 200 to cap driver output."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    return decontam.repetition_profile(docs, n=3).orderBy("doc_id")
+
+
+Q41_SQL = r"""
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+  FROM documents WHERE doc_id < 200),
+w AS (SELECT doc_id, string_split(t, ' ') AS words FROM norm),
+tw AS (SELECT doc_id, unnest(words) AS wd FROM w),
+wc AS (SELECT doc_id, wd, COUNT(*) AS c FROM tw GROUP BY 1, 2),
+top AS (SELECT doc_id, MAX(c) AS mx, SUM(c) AS n FROM wc GROUP BY 1),
+idx AS (SELECT doc_id, words,
+               unnest(generate_series(1, greatest(len(words)-2, 1))) AS i
+        FROM w),
+g AS (SELECT doc_id, array_to_string(words[i:i+2], ' ') AS gram FROM idx),
+dd AS (SELECT doc_id, COUNT(*) AS total, COUNT(DISTINCT gram) AS dist
+       FROM g GROUP BY 1),
+j AS (
+  SELECT w.doc_id, len(w.words) - 2 AS total3, dd.dist, top.mx, top.n
+  FROM w JOIN dd ON w.doc_id = dd.doc_id JOIN top ON w.doc_id = top.doc_id)
+SELECT doc_id,
+       CASE WHEN total3 <= 0 THEN 0.0
+            ELSE ROUND(1.0 - dist / CAST(total3 AS DOUBLE), 6) END
+         AS dup_ngram_frac,
+       ROUND(mx / CAST(n AS DOUBLE), 6) AS top_word_frac
+FROM j ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# q42 — PII detection + redaction fingerprint
+# ---------------------------------------------------------------------------
+
+
+def q42_pii(spark, sf_dir):
+    """PII counts + redacted-text md5 over docs with planted PII
+    (emails/IPs/phones/SSNs appended to doc_id < 50 — both engines
+    plant identically, so natural + planted matches are all verified).
+    regexp_count/regexp_replace chains — codegen, single scan."""
+    docs = _t(spark, sf_dir, "documents")
+    planted = F.when(
+        F.col("doc_id") < 50,
+        F.concat(
+            F.col("text"),
+            F.lit(" Contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 192.168.1.77 call 555-123-4567 ssn 123-45-6789"),
+        ),
+    ).otherwise(F.col("text"))
+    aug = docs.where(F.col("doc_id") < 200).select(
+        "doc_id", planted.alias("text")
+    )
+    return decontam.pii_profile(aug).orderBy("doc_id")
+
+
+Q42_SQL = r"""
+WITH aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id < 50
+              THEN text || ' Contact user' || CAST(doc_id AS VARCHAR) ||
+                   '@example.com or 192.168.1.77 call 555-123-4567 ssn 123-45-6789'
+              ELSE text END AS text
+  FROM documents WHERE doc_id < 200)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+  CAST(len(regexp_extract_all(text,
+    '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS BIGINT) AS n_ipv4,
+  CAST(len(regexp_extract_all(text,
+    '\b\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b')) AS BIGINT) AS n_phone,
+  CAST(len(regexp_extract_all(text,
+    '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) AS BIGINT) AS n_ssn,
+  md5(
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[PII]', 'g'),
+          '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '[PII]', 'g'),
+        '\b\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b', '[PII]', 'g'),
+      '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '[PII]', 'g')
+  ) AS redacted_md5
+FROM aug ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_profile_lineitem": q02_profile_lineitem,
@@ -1604,6 +1899,10 @@ QUERIES = {
     "q36_exact_cosine_pairs": q36_exact_cosine_pairs,
     "q37_ivf_ann_trained": q37_ivf_ann_trained,
     "q38_json_schema_typed": q38_json_schema_typed,
+    "q39_token_hist_drift": q39_token_hist_drift,
+    "q40_decontamination": q40_decontamination,
+    "q41_repetition": q41_repetition,
+    "q42_pii": q42_pii,
 }
 
 ORACLES = {
@@ -1626,6 +1925,8 @@ ORACLES = {
     "q17_top_users": Q17_SQL,
     "q18_invariant_nchars": Q18_SQL,
     "q19_minhash_near_dups": Q19_SQL,
+    "q20_simhash_near_dups": Q20_SQL,
+    "q22_multimodal_features": Q22_SQL,
     "q23_exact_dedup_rows": Q23_SQL,
     "q24_referential_violations": Q24_SQL,
     "q25_excluded_violations": Q25_SQL,
@@ -1640,6 +1941,11 @@ ORACLES = {
     "q35_json_schema_constraint": Q35_SQL,
     "q36_exact_cosine_pairs": Q36_SQL,
     "q38_json_schema_typed": Q38_SQL,
-    # q19-q22: non-SQL-expressible (MinHash/SimHash/LSH/mapInPandas) —
-    # rows-only checks by design.
+    "q39_token_hist_drift": Q39_SQL,
+    "q40_decontamination": Q40_SQL,
+    "q41_repetition": Q41_SQL,
+    "q42_pii": Q42_SQL,
+    # q21/q32/q37: rows-only by design — approximate ANN top-k
+    # (recall < 1 is intrinsic at honest params) and t-digest sketches
+    # have no exact SQL twin.
 }
