@@ -146,3 +146,64 @@ def test_violations_plan_prefilters_before_generate(spark):
     # the interpreted array appears at most twice (Filter + Project) —
     # never a third copy
     assert plan.count("lambdafunction") <= 2 * 2, plan
+
+
+def test_decontamination_broadcasts_benchmark_not_corpus(spark, sf_dir):
+    """q40's contamination join must broadcast the (small, deduped)
+    benchmark n-gram set; the corpus side may only shuffle the HITS
+    for the final per-doc aggregate — never its full shingle explode."""
+    from check_datapackage_spark.operators import decontam
+
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    corpus = docs.where(F.col("doc_id") % 97 != 0)
+    p = plan_of(decontam.contaminated_docs(corpus, bench, n=5))
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+    # partial count_distinct before the exchange bounds shuffled bytes
+    assert p.count("HashAggregate") >= 2, p
+
+
+def test_repetition_profile_no_shuffle(spark, sf_dir):
+    """q41's signals are pure per-row expressions — zero Exchange."""
+    from check_datapackage_spark.operators import decontam
+
+    docs = load(spark, sf_dir, "documents")
+    p = plan_of(decontam.repetition_profile(docs))
+    assert "Exchange" not in p, p
+    # and no Python UDF in the plan — codegen higher-order funcs only
+    assert "Python" not in p, p
+
+
+def test_pii_profile_no_shuffle_no_udf(spark, sf_dir):
+    from check_datapackage_spark.operators import decontam
+
+    docs = load(spark, sf_dir, "documents")
+    p = plan_of(decontam.pii_profile(docs))
+    assert "Exchange" not in p, p
+    assert "Python" not in p, p
+
+
+def test_token_histogram_shuffles_buckets_not_tokens(spark, sf_dir):
+    """q39's histogram must aggregate bincount vectors (≤ n_buckets
+    rows per task after posexplode), not exploded token rows: the plan
+    shows the pandas-UDF eval feeding a partial aggregate, with no
+    Generate (explode) of the raw token arrays before the UDF."""
+    from check_datapackage_spark.operators import drift
+
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.split(F.col("text"), " ").alias("words")
+    ).select(
+        "source",
+        F.transform("words", lambda w: F.length(w).cast("long")).alias("tokens"),
+    )
+    p = plan_of(drift.token_histogram(tok, "tokens", vocab=100, n_buckets=10, by="source"))
+    assert "ArrowEvalPython" in p or "BatchEvalPython" in p, p
+    # the only Generate is the posexplode of the SMALL bincount vector
+    # (executes after the UDF — plan text prints last stage first), and
+    # the raw token arrays are never exploded
+    assert p.count("Generate") == 1 and "posexplode(_bc" in p, p
+    udf_pos = max(p.find("ArrowEvalPython"), p.find("BatchEvalPython"))
+    assert p.index("Generate") < udf_pos, p
+    assert p.count("HashAggregate") >= 2, p
