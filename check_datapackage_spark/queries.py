@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .operators import decontam, dedup, drift, multimodal, referential, similarity, stats, text, uniqueness
+from .operators import decontam, dedup, drift, multimodal, referential, sampling, similarity, stats, text, uniqueness
 from .operators.drift import bucket_sql
 from .plans.validation import violations_plan
 from .spec import CheckConfig, Exclusion, TableSpec
@@ -1860,6 +1860,54 @@ FROM aug ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# q43 — deterministic stratified data mixing
+# ---------------------------------------------------------------------------
+
+
+def q43_stratified_mix(spark, sf_dir):
+    """Reproducible source reweighting: src0 ×2.5 (up-sampled), src1
+    ×0.5, src2 dropped, everything else ×0.1. Membership/copies are a
+    pure md5 function of doc_id — stable under repartitioning and
+    exactly reproducible in the DuckDB twin (Spark's ``df.sample`` is
+    partition-layout-dependent and can't be verified cross-engine).
+    Map-side only: filter + sequence/explode, zero shuffle before the
+    summary agg."""
+    docs = _t(spark, sf_dir, "documents")
+    out = sampling.stratified_mix(
+        docs, {"src0": 2.5, "src1": 0.5, "src2": 0.0}, default=0.1
+    )
+    return (
+        out.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("_rep").alias("rep_sum"),
+        )
+        .orderBy("source")
+    )
+
+
+Q43_SQL = """
+WITH f AS (
+  SELECT doc_id, source,
+         CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 0.5
+                     WHEN 'src2' THEN 0.0 ELSE 0.1 END AS f,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS UBIGINT)
+           / 4294967296.0 AS uh
+  FROM documents),
+c AS (
+  SELECT source,
+         CAST(FLOOR(f) AS BIGINT) +
+           CASE WHEN uh < f - FLOOR(f) THEN 1 ELSE 0 END AS copies
+  FROM f),
+e AS (SELECT source, unnest(generate_series(1, copies)) AS rep
+      FROM c WHERE copies > 0)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(rep) AS BIGINT) AS rep_sum
+FROM e GROUP BY source ORDER BY source
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_profile_lineitem": q02_profile_lineitem,
@@ -1903,6 +1951,7 @@ QUERIES = {
     "q40_decontamination": q40_decontamination,
     "q41_repetition": q41_repetition,
     "q42_pii": q42_pii,
+    "q43_stratified_mix": q43_stratified_mix,
 }
 
 ORACLES = {
@@ -1945,6 +1994,7 @@ ORACLES = {
     "q40_decontamination": Q40_SQL,
     "q41_repetition": Q41_SQL,
     "q42_pii": Q42_SQL,
+    "q43_stratified_mix": Q43_SQL,
     # q21/q32/q37: rows-only by design — approximate ANN top-k
     # (recall < 1 is intrinsic at honest params) and t-digest sketches
     # have no exact SQL twin.

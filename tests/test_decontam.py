@@ -201,3 +201,53 @@ def test_simhash_signature_matches_pure_python(spark):
 
     for i, t in enumerate(texts):
         assert got[i] == ref_sig(t), t
+
+
+# ---------------------------------------------------------------------------
+# deterministic sampling / stratified mix (operators/sampling.py)
+# ---------------------------------------------------------------------------
+
+
+def test_deterministic_sample_stable_under_repartition(spark):
+    from check_datapackage_spark.operators import sampling
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    a = sorted(
+        r["doc_id"]
+        for r in sampling.deterministic_sample(df, 0.3, key="doc_id").collect()
+    )
+    b = sorted(
+        r["doc_id"]
+        for r in sampling.deterministic_sample(
+            df.repartition(7), 0.3, key="doc_id"
+        ).collect()
+    )
+    assert a == b and len(a) > 0
+    # roughly the requested fraction (md5 is uniform)
+    assert 0.25 < len(a) / 2000 < 0.35
+    # a different salt draws an independent sample
+    c = sorted(
+        r["doc_id"]
+        for r in sampling.deterministic_sample(df, 0.3, key="doc_id", salt="x").collect()
+    )
+    assert c != a
+
+
+def test_stratified_mix_up_and_down(spark):
+    from check_datapackage_spark.operators import sampling
+
+    rows = [(i, "a" if i < 1000 else "b") for i in range(2000)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = sampling.stratified_mix(df, {"a": 2.5, "b": 0.0}, default=1.0)
+    counts = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert "b" not in counts
+    # 2.5x: every 'a' row twice + ~half a third time
+    assert 2300 < counts["a"] < 2700
+    # _rep enumerates copies 1..n
+    reps = out.where(F.col("doc_id") == 0).select("_rep").collect()
+    n0 = len(reps)
+    assert sorted(r["_rep"] for r in reps) == list(range(1, n0 + 1))
+    assert n0 in (2, 3)
