@@ -72,6 +72,20 @@ def exact_dedup(
 # ---------------------------------------------------------------------------
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Ensure at least defaultParallelism partitions before a pandas
+    UDF: a single small parquet file arrives as 1-2 partitions and
+    serializes the whole UDF through one Python worker (measured 7.8 s
+    vs 0.8 s for simhash signatures at sf0.1). At production scale the
+    input already has ≥ thousands of partitions and this is a no-op —
+    the repartition only fires on under-split inputs, where the
+    round-robin shuffle is small by construction."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def shingles(col: Column, k: int = 5) -> Column:
     """Word k-shingles of the normalized text → array<string> (distinct)."""
     words = F.split(normalize_text(col), " ")
@@ -169,7 +183,7 @@ def minhash_signatures_arrow(
                 out.append((hs[:, None] * mult[None, :] + add[None, :]).min(axis=0))
         return pd.Series(out)
 
-    arr = df.select(F.col(id_col).alias("_id"), sig(F.col(text_col)).alias("_s"))
+    arr = _spread(df).select(F.col(id_col).alias("_id"), sig(F.col(text_col)).alias("_s"))
     return arr.select(
         "_id", *[F.element_at("_s", i + 1).alias(f"_h{i}") for i in range(n_hashes)]
     )
@@ -378,14 +392,26 @@ def simhash_signatures(
         sig = (major.astype(np.int64) << np.arange(60)).sum(axis=1)
         return pd.Series(sig)
 
-    return df.select(F.col(id_col).alias("_id"), simhash(F.col(text_col)).alias("simhash"))
+    return _spread(df).select(
+        F.col(id_col).alias("_id"), simhash(F.col(text_col)).alias("simhash")
+    )
 
 
 def simhash_candidates(
-    sigs: DataFrame, n_chunks: int = 4, chunk_bits: int = 15
+    sigs: DataFrame,
+    n_chunks: int = 4,
+    chunk_bits: int = 15,
+    max_hamming: Optional[int] = None,
 ) -> DataFrame:
     """Candidate pairs with hamming distance ≤ n_chunks-1 (pigeonhole:
-    some chunk must match exactly). One shuffle on (chunk, value)."""
+    some chunk must match exactly). One shuffle on (chunk, value).
+
+    When ``max_hamming`` is given the hamming predicate is part of the
+    JOIN condition, not a post-filter: hot buckets (template-heavy
+    corpora cluster simhashes — measured 324k+ candidate pairs from
+    5k docs at sf0.1) then prune during the join probe instead of
+    shuffling every within-bucket pair through the dedup ``distinct``
+    (21 s → sub-second on that fixture)."""
     chunks = [
         F.struct(
             F.lit(c).alias("chunk"),
@@ -399,13 +425,18 @@ def simhash_candidates(
         "_id", "simhash", F.col("cc.chunk").alias("chunk"), F.col("cc.val").alias("val")
     )
     l, r = b.alias("l"), b.alias("r")
-    pairs = (
-        l.join(
-            r,
-            (F.col("l.chunk") == F.col("r.chunk"))
-            & (F.col("l.val") == F.col("r.val"))
-            & (F.col("l._id") < F.col("r._id")),
+    cond = (
+        (F.col("l.chunk") == F.col("r.chunk"))
+        & (F.col("l.val") == F.col("r.val"))
+        & (F.col("l._id") < F.col("r._id"))
+    )
+    if max_hamming is not None:
+        cond = cond & (
+            F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash")))
+            <= max_hamming
         )
+    pairs = (
+        l.join(r, cond)
         .select(
             F.col("l._id").alias("id_a"),
             F.col("r._id").alias("id_b"),
@@ -431,4 +462,6 @@ def simhash_near_dups(
     frame, which would otherwise run the UDF twice. One long per doc —
     negligible memory at any scale worth running this on."""
     sigs = simhash_signatures(df, text_col, id_col).persist()
-    return simhash_candidates(sigs).where(F.col("hamming") <= max_hamming)
+    return simhash_candidates(sigs, max_hamming=max_hamming).where(
+        F.col("hamming") <= max_hamming
+    )

@@ -73,36 +73,77 @@ def violations_plan(
         key_col = F.col(row_key)
     part_col = F.col(partition).cast("string") if partition else F.lit(None).cast("string")
 
-    elems = []
-    for ck in checks:
-        struct = F.struct(
-            _jsonpath_col(table_name, key_col, ck.column).alias("jsonpath"),
-            F.lit(ck.issue_type).alias("type"),
-            F.lit(ck.message).alias("message"),
-            ck.instance.alias("instance"),
-            F.lit(ck.name).alias("check"),
-            F.lit(ck.column).cast("string").alias("column"),
-            (key_col.cast("string") if key_col is not None else F.lit(None).cast("string")).alias(
-                "row_key"
-            ),
-            part_col.alias("partition"),
-        )
-        elems.append(F.when(~ck.ok, struct))
-
+    # The per-row work is ONLY the ok predicates: the array carries the
+    # indices of failing checks (array<int>), nothing else. All payload
+    # — jsonpath, constants, the instance value — is resolved AFTER the
+    # explode, i.e. on violating rows only. The previous shape (full
+    # payload structs inside the array) re-evaluated 15 jsonpath
+    # concats + 15 instance expressions + any staging when-chains per
+    # row inside one giant interpreted expression (variant checks
+    # disable codegen): q38 measured 14.2 s per execution vs ~2 s with
+    # this emission at sf0.1.
+    elems = [F.when(~ck.ok, F.lit(i)) for i, ck in enumerate(checks)]
     arr = F.array_compact(F.array(*elems))
+
+    # Columns the post-explode payload may reference. Contract (see
+    # CompiledCheck): ``instance`` only references its check's root
+    # column. Carrying the root columns through the Generate is free
+    # (Generate appends to the input row) and keeps column pruning
+    # intact — unreferenced table columns never leave the scan.
+    carry: list[str] = []
+    seen: set[str] = set()
+    for ck in checks:
+        root = (ck.column or "").split(".", 1)[0]
+        if root and root in df.columns and root not in seen:
+            seen.add(root)
+            carry.append(root)
+
     # No explicit pre-filter on size(_v): explode (non-outer) already
-    # drops empty arrays, and Catalyst's InferFiltersFromGenerate adds
-    # a size(_v) > 0 Filter below the Generate anyway. That inferred
-    # filter duplicates the (interpreted, non-codegen) violations-array
-    # expression into Filter + Project, but the duplication only costs
-    # on VIOLATING rows — clean rows evaluate the array once in the
-    # filter and are dropped before the projection (A/B measured at 2M
-    # rows: excluding the rule changes nothing on mostly-valid data).
-    out = (
-        df.select(arr.alias("_v"))
-        .select(F.explode("_v").alias("v"))
-        .select([F.col(f"v.{c}").alias(c) for c in VIOLATION_COLUMNS])
+    # drops empty arrays. Catalyst's InferFiltersFromGenerate would add
+    # a size(_v) > 0 Filter that DUPLICATES the array expression on
+    # every row (13× measured with interpreted variant checks) — the
+    # rule is excluded session-wide (session.exclude_infer_filters).
+    exploded = df.select(
+        key_col.cast("string").alias("_k"),
+        part_col.alias("_p"),
+        *[F.col(c) for c in carry],
+        F.explode(arr).alias("_ci"),
     )
+
+    idx = F.col("_ci") + 1  # element_at is 1-based
+
+    def const(fn) -> Column:
+        """Per-check constant via literal-array lookup (one expression,
+        no N-branch CASE)."""
+        return F.element_at(F.array(*[F.lit(fn(ck)) for ck in checks]), idx)
+
+    # jsonpath = $.<table>[<key>]<.column-suffix> — suffix precomputed
+    # per check so table-level checks (column None) get no suffix
+    jsonpath = F.concat(
+        F.lit(f"$.{table_name}["),
+        F.coalesce(F.col("_k"), F.lit("?")),
+        F.lit("]"),
+        const(lambda ck: f".{ck.column}" if ck.column else ""),
+    )
+    # ONE flat CaseWhen (when().when()...), never nested otherwise() —
+    # nesting would embed the whole previous chain per branch: O(N²)
+    # expression size, measured 90 s vs ~3 s on the 29-check q07
+    instance: Optional[Column] = None
+    for i, ck in enumerate(checks):
+        branch = (F.col("_ci") == i, ck.instance.cast("string"))
+        instance = F.when(*branch) if instance is None else instance.when(*branch)
+    instance = instance.otherwise(F.lit(None).cast("string"))
+
+    out = exploded.select(
+        jsonpath.alias("jsonpath"),
+        const(lambda ck: ck.issue_type).alias("type"),
+        const(lambda ck: ck.message).alias("message"),
+        instance.alias("instance"),
+        const(lambda ck: ck.name).alias("check"),
+        const(lambda ck: ck.column).cast("string").alias("column"),
+        F.col("_k").alias("row_key"),
+        F.col("_p").alias("partition"),
+    ).select(VIOLATION_COLUMNS)
     return out
 
 
@@ -346,6 +387,19 @@ def check_table(
 
     config = config or CheckConfig()
     dims = dims or {}
+
+    # Under-split inputs (a single small parquet file arrives as 1-2
+    # partitions) would run the whole fused plan through one task —
+    # measured 20-30 s for 15 jsonSchema checks over 100k one-partition
+    # rows vs ~2 s spread. A production 10^12-row table always has
+    # orders of magnitude more partitions than cores, so this guard
+    # never fires there; locally the round-robin shuffle is small by
+    # construction. PK-based row addressing is unaffected; the no-key
+    # positional fallback (monotonically_increasing_id) was already
+    # partition-layout-dependent before this guard.
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
 
     spec_issues = list(validate_spec(spec, version=config.version))
     spec_issues.extend(schema_conforms(df, spec))

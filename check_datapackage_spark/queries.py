@@ -26,11 +26,15 @@ from .spec import CheckConfig, Exclusion, TableSpec
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from .session import exclude_infer_filters
     from .sources.registry import load_table
 
     # oracle comparability does not depend on who built the session:
     # timestamps format/cast in UTC (DuckDB is UTC-naive)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # nor does plan quality: driver-owned sessions also get the
+    # InferFiltersFromGenerate exclusion (see session.get_spark)
+    exclude_infer_filters(spark)
     return load_table(spark, sf_dir, name)
 
 

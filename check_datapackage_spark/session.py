@@ -35,9 +35,43 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # InferFiltersFromGenerate duplicates the explode input
+        # expression into a size()>0 Filter evaluated on EVERY row.
+        # Harmless for cheap codegen predicates (round-2 A/B), but the
+        # fused violations array with interpreted variant (jsonSchema)
+        # checks is expensive to evaluate — the duplicated copy
+        # measured 11.0 s vs 0.83 s without the rule at sf0.1 (13×).
+        # explode (non-outer) already drops empty arrays on its own.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+INFER_FILTERS_RULE = (
+    "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+)
+
+
+def exclude_infer_filters(spark: SparkSession) -> None:
+    """Append InferFiltersFromGenerate to the session's excluded
+    optimizer rules (idempotent, preserves other exclusions).
+
+    For sessions not built by :func:`get_spark` (e.g. the driver
+    harness): the rule duplicates the fused violations array — with
+    interpreted variant (jsonSchema) checks that copy measured 13×
+    the whole plan's cost (see get_spark)."""
+    try:
+        cur = spark.conf.get("spark.sql.optimizer.excludedRules")
+    except Exception:
+        cur = None
+    rules = [r for r in (cur or "").split(",") if r]
+    if INFER_FILTERS_RULE not in rules:
+        rules.append(INFER_FILTERS_RULE)
+        spark.conf.set("spark.sql.optimizer.excludedRules", ",".join(rules))

@@ -125,11 +125,12 @@ def test_bucketed_join_no_shuffle(spark, sf_dir, tmp_path_factory):
         spark.sql("DROP TABLE IF EXISTS ord_b")
 
 
-def test_violations_plan_prefilters_before_generate(spark):
-    """Catalyst's InferFiltersFromGenerate puts a size(_v) > 0 Filter
-    below the Generate, so clean rows evaluate the violations array
-    once and are dropped before the projection — pin that shape (one
-    Filter + one Project carrying the array, one Generate above)."""
+def test_violations_plan_single_array_evaluation(spark):
+    """The violations array must evaluate exactly ONCE per row: the
+    session excludes InferFiltersFromGenerate (its inferred size(_v)>0
+    Filter duplicates the array — 13× the plan cost once interpreted
+    variant checks live in it; see session.get_spark), so the plan has
+    one Generate and NO size() filter below it."""
     from check_datapackage_spark import TableSpec, compile_table_checks, violations_plan
 
     df = spark.createDataFrame([(1, "x")], "id int, s string")
@@ -142,10 +143,9 @@ def test_violations_plan_prefilters_before_generate(spark):
     checks = compile_table_checks(spec, schema=df.schema)
     plan = violations_plan(df, checks, "t", row_key="id")._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Generate explode") == 1, plan
-    assert "Filter (size(" in plan, plan
-    # the interpreted array appears at most twice (Filter + Project) —
-    # never a third copy
-    assert plan.count("lambdafunction") <= 2 * 2, plan
+    assert "Filter (size(" not in plan, plan
+    # the interpreted array appears exactly once (the Generate input)
+    assert plan.count("lambdafunction") <= 2, plan
 
 
 def test_decontamination_broadcasts_benchmark_not_corpus(spark, sf_dir):
