@@ -42,6 +42,16 @@ def _dec(col, scale: int = 2):
     return col.cast(f"decimal(18,{scale})")
 
 
+def _sorted(df: DataFrame, *cols: str) -> DataFrame:
+    """persist + orderBy for expensive plans: a global sort's range-
+    partition SAMPLING pass otherwise re-executes the entire upstream
+    plan a second time (q38's fused variant checks: +3 s per run). The
+    sampling pass populates the cache; the sort pass reads it. Results
+    are small (bounded violation/summary sets), so the block is cheap
+    and the caller's clearCache()/session teardown reclaims it."""
+    return df.persist().orderBy(*cols)
+
+
 # ---------------------------------------------------------------------------
 # q01 — pricing summary (TPC-H Q1 shape; C6-range analog + fused agg)
 # ---------------------------------------------------------------------------
@@ -254,7 +264,7 @@ def q07_check_orders_fused(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders")
     customer = _t(spark, sf_dir, "customer")
     res = check_table(orders, ORDERS_SPEC, dims={"customer": customer})
-    return res.violations.orderBy("jsonpath", "type")
+    return _sorted(res.violations, "jsonpath", "type")
 
 
 Q07_SQL = """
@@ -837,7 +847,7 @@ def q24_referential_violations(spark, sf_dir):
     )
     # one row per missing fact row collapses under the Issue dedup key
     # (jsonpath without a distinct row key) — emit distinct keys
-    return v.dropDuplicates(["jsonpath"]).orderBy("jsonpath")
+    return _sorted(v.dropDuplicates(["jsonpath"]), "jsonpath")
 
 
 Q24_SQL = """
@@ -891,7 +901,7 @@ def q25_excluded_violations(spark, sf_dir):
             exclusions=(Exclusion(jsonpath="$.orders[*].o_orderstatus", type="enum"),)
         ),
     )
-    return res.violations.orderBy("jsonpath", "type")
+    return _sorted(res.violations, "jsonpath", "type")
 
 
 Q25_SQL = """
@@ -1191,7 +1201,7 @@ def q34_combinators(spark, sf_dir):
         }
     )
     res = check_table(staged, spec)
-    return res.violations.orderBy("jsonpath", "type")
+    return _sorted(res.violations, "jsonpath", "type")
 
 
 Q34_SQL = """
@@ -1280,7 +1290,7 @@ def q35_json_schema_constraint(spark, sf_dir):
         }
     )
     res = check_table(staged, spec)
-    return res.violations.orderBy("jsonpath", "type")
+    return _sorted(res.violations, "jsonpath", "type")
 
 
 Q35_SQL = """
@@ -1508,7 +1518,7 @@ def q38_json_schema_typed(spark, sf_dir):
         }
     )
     res = check_table(staged, spec)
-    return res.violations.orderBy("jsonpath", "type", "check")
+    return _sorted(res.violations, "jsonpath", "type", "check")
 
 
 Q38_SQL = """
