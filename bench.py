@@ -61,11 +61,28 @@ def run_suite(
     return times, rows, total_rows
 
 
+def cpu_calibration(seconds: float = 2.0) -> int:
+    """Fixed pure-Python spin — iterations completed in ``seconds`` of
+    wall clock. This Firecracker guest's effective CPU speed varies up
+    to 7× window-to-window (measured 2.6M vs 18.9M iters/4s an hour
+    apart, /proc/stat steal 0 both times — host-level throttling
+    invisible to the guest). Recording the calibration with every
+    bench run makes throttled windows visible in the numbers instead
+    of reading as engine regressions. Quiet-window reference on this
+    box: ~9.5M iters per 2 s."""
+    t0 = time.perf_counter()
+    x = 0
+    while time.perf_counter() - t0 < seconds:
+        x += 1
+    return x
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     load_before = round(os.getloadavg()[0], 2)
+    cal_before = cpu_calibration()
     spark = get_spark("cdp-bench", cores=cores, shuffle_partitions=cores)
 
     # warm-up: JVM/codegen/Arrow paths (not timed)
@@ -91,6 +108,8 @@ def main() -> None:
                 "runs_per_query": runs,
                 "loadavg_before": load_before,
                 "loadavg_after": round(os.getloadavg()[0], 2),
+                "cpu_cal_before": cal_before,
+                "cpu_cal_after": cpu_calibration(),
                 "lineitem_rows": n_input,
                 "rows_per_sec": round(n_input / total, 1),
             }

@@ -32,6 +32,14 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        # long sessions compile hundreds of generated classes (43
+        # driver queries × runs); the JVM's default 240 MB reserved
+        # code cache fills, JIT compilation stops, and late queries run
+        # interpreted — measured as alphabetically-late queries (q35+)
+        # timing 5-6× their fresh-session cost in bench sweeps
+        .config(
+            "spark.driver.extraJavaOptions", "-XX:ReservedCodeCacheSize=512m"
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

@@ -150,3 +150,29 @@ def stateful_session_counts(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_dedup(
+    stream: DataFrame,
+    keys: Sequence[str] = ("doc_id",),
+    ts_col: str = "ts",
+    delay: str = "10 minutes",
+    within_watermark: bool = True,
+) -> DataFrame:
+    """Exactly-once-per-key stream: drop duplicate arrivals of the same
+    key(s), with state BOUNDED by the event-time watermark.
+
+    ``within_watermark=True`` uses ``dropDuplicatesWithinWatermark`` —
+    duplicates are only suppressed while their first sighting is inside
+    the watermark horizon, so per-key state expires and the state store
+    stays O(keys per horizon) instead of O(all keys ever) — the only
+    shape that survives an unbounded stream at 10^12 keys. The plain
+    variant (``False``) keeps the event-time column in the dedup key
+    (exact semantics, state still watermark-expired) for pipelines
+    where re-emission after the horizon is REQUIRED rather than merely
+    tolerated.
+    """
+    wm = stream.withWatermark(ts_col, delay)
+    if within_watermark:
+        return wm.dropDuplicatesWithinWatermark(list(keys))
+    return wm.dropDuplicates([*keys, ts_col])

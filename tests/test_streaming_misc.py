@@ -195,3 +195,37 @@ def test_stateful_session_counts_matches_batch(spark, tmp_path):
         for r in QUERIES["q16_sessions"](spark, sf).collect()
     }
     assert got == want
+
+
+def test_streaming_dedup_drops_duplicate_keys(spark, tmp_path):
+    """dropDuplicatesWithinWatermark path: duplicate doc_ids arriving
+    within the horizon are suppressed; batch ground truth = distinct
+    keys of the input."""
+    import pyspark.sql.functions as F
+    from check_datapackage_spark.streaming.checks import streaming_dedup
+
+    src = str(tmp_path / "dup_docs")
+    rows = [(i % 50, f"2024-01-01 00:{i % 60:02d}:00") for i in range(200)]
+    df = (
+        spark.createDataFrame(rows, ["doc_id", "ts_s"])
+        .select("doc_id", F.col("ts_s").cast("timestamp").alias("ts"))
+    )
+    df.write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+
+    out = streaming_dedup(stream, keys=("doc_id",), ts_col="ts", delay="2 hours")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT doc_id FROM dedup_stream").collect()
+    ids = [r["doc_id"] for r in got]
+    assert sorted(ids) == sorted(set(ids)), "duplicates survived"
+    assert set(ids) == set(range(50))

@@ -92,12 +92,21 @@ def job(path):
     nd = drift.drift_by_group(df, "n_tok", "source", 1, 2049, 32).count()
     return nv + ns + nd
 
+def spin(seconds=2.0):
+    # effective-CPU calibration: this guest's speed varies up to 7x
+    # window-to-window (host throttling, steal=0) — record it so a
+    # throttled child is visible in the ladder evidence
+    t0 = time.perf_counter(); x = 0
+    while time.perf_counter() - t0 < seconds: x += 1
+    return x
+
+cal0 = spin()
 job(%(warm)r)   # warm-up: small data, full plan shape
 job(%(full)r)   # untimed: Janino codegen compile + page cache for FULL plan
 out = []
 for _ in range(runs):
     t0 = time.perf_counter(); job(%(full)r); out.append(time.perf_counter() - t0)
-print("RESULT " + json.dumps(out))
+print("RESULT " + json.dumps({"times": out, "cal": [cal0, spin()]}))
 spark.stop()
 """
 
@@ -115,7 +124,7 @@ def generate(n_rows: int) -> None:
         raise RuntimeError(f"generation failed:\n{p.stdout}\n{p.stderr}")
 
 
-def run_child(cores: int, runs: int) -> list[float]:
+def run_child(cores: int, runs: int) -> dict:
     p = subprocess.run(
         [sys.executable, "-c", CHILD % _fmt(), str(cores), str(runs)],
         capture_output=True, text=True, cwd=REPO, timeout=3600,
@@ -129,16 +138,22 @@ def run_child(cores: int, runs: int) -> list[float]:
 def measure_ladder(lo_cores: int, hi_cores: int, runs: int) -> dict:
     lo: list[float] = []
     hi: list[float] = []
+    cals: list[tuple[int, list[int]]] = []
     # A-B-B-A: slow host drift lands symmetrically on both levels
     for cores, sink in ((lo_cores, lo), (hi_cores, hi), (hi_cores, hi), (lo_cores, lo)):
         got = run_child(cores, runs)
-        sink.extend(got)
-        print(f"child cores={cores}: {['%.1f' % x for x in got]}", flush=True)
+        sink.extend(got["times"])
+        cals.append((cores, got["cal"]))
+        print(
+            f"child cores={cores}: {['%.1f' % x for x in got['times']]}"
+            f" cal={got['cal']}",
+            flush=True,
+        )
     t_lo, t_hi = statistics.median(lo), statistics.median(hi)
     eff = (t_lo / t_hi) / (hi_cores / lo_cores)
     return {
         "lo_cores": lo_cores, "hi_cores": hi_cores, "lo": lo, "hi": hi,
-        "t_lo": t_lo, "t_hi": t_hi, "eff": eff,
+        "t_lo": t_lo, "t_hi": t_hi, "eff": eff, "cals": cals,
     }
 
 
@@ -178,6 +193,10 @@ def _section(r: dict, n_rows: int) -> str:
 **median speedup: {r['t_lo'] / r['t_hi']:.2f}x; scaling efficiency =
 ({r['t_lo']:.2f}/{r['t_hi']:.2f})/{r['hi_cores'] // r['lo_cores']} = {r['eff']:.3f}**
 (north-rule threshold: >= 0.8 {'MET' if r['eff'] >= 0.8 else 'NOT MET'})
+
+Per-child effective-CPU calibration (2 s spin iterations before/after;
+quiet-window reference ≈ 9.5M — a child far below that ran in a
+host-throttled window): {', '.join(f"{c}c {a/1e6:.1f}M/{b/1e6:.1f}M" for c, (a, b) in r['cals'])}
 """
 
 
