@@ -30,6 +30,14 @@ class CompiledCheck:
 
     ``ok`` is a boolean Column (true ⇒ pass). ``instance`` is the value
     to surface in the violation row (stringified).
+
+    ``instance`` may reference ANY columns of the checked DataFrame
+    (not just ``column``): the violations plan derives the columns it
+    must carry through its explode from the instance expressions
+    themselves (``plans.validation._instance_carry_columns``) and
+    evaluates them on violating rows only. It must not reference
+    columns absent from the input — that is rejected at plan-build
+    time with the check named.
     """
 
     name: str  # unique check id, e.g. "doc_id.required"

@@ -140,7 +140,7 @@ def drift_by_group(
     (group, kl, psi, n) — flag drift with a threshold (PSI > 0.2 is the
     conventional 'significant shift').
     """
-    h = histogram(df, column, lo, hi, n_buckets, by=by).cache()
+    h = histogram(df, column, lo, hi, n_buckets, by=by)
     return drift_from_histogram(h, by, eps=eps)
 
 
@@ -151,7 +151,12 @@ def drift_from_histogram(h: DataFrame, by: str, eps: float = 1e-9) -> DataFrame:
 
     The global reference is re-aggregated from the per-group histogram
     (no second scan); all side tables are tiny (≤ groups × buckets rows)
-    and broadcast."""
+    and broadcast. ``h`` is cached HERE because the plan references it
+    three times (global totals, group totals, main join) — without the
+    cache the histogram scan over the full input executes ~3× per run
+    (ADVICE r3: q39's direct-call path paid the Arrow-UDF token-
+    histogram three times)."""
+    h = h.cache()
     total = h.groupBy("bucket").agg(F.sum("count").alias("gcount"))
     gt = h.groupBy(by).agg(F.sum("count").alias("gn"))
     tt = total.agg(F.sum("gcount").alias("tn"))

@@ -85,18 +85,16 @@ def violations_plan(
     elems = [F.when(~ck.ok, F.lit(i)) for i, ck in enumerate(checks)]
     arr = F.array_compact(F.array(*elems))
 
-    # Columns the post-explode payload may reference. Contract (see
-    # CompiledCheck): ``instance`` only references its check's root
-    # column. Carrying the root columns through the Generate is free
-    # (Generate appends to the input row) and keeps column pruning
-    # intact — unreferenced table columns never leave the scan.
-    carry: list[str] = []
-    seen: set[str] = set()
-    for ck in checks:
-        root = (ck.column or "").split(".", 1)[0]
-        if root and root in df.columns and root not in seen:
-            seen.add(root)
-            carry.append(root)
+    # Columns the post-explode payload references: derived from the
+    # ``instance`` expressions THEMSELVES (one driver-side analysis of
+    # all instances against df — ~50 ms, no execution), so ``instance``
+    # may reference ANY input column (cross-column invariants,
+    # column=None checks — the full compile_invariant contract), not
+    # just its check's declared column root. Carrying the referenced
+    # columns through the Generate is free (Generate appends to the
+    # input row) and keeps column pruning intact — unreferenced table
+    # columns never leave the scan.
+    carry = _instance_carry_columns(df, checks)
 
     # No explicit pre-filter on size(_v): explode (non-outer) already
     # drops empty arrays. Catalyst's InferFiltersFromGenerate would add
@@ -151,6 +149,56 @@ def _empty_schema():
     from ..issue import VIOLATION_FULL_SCHEMA
 
     return VIOLATION_FULL_SCHEMA
+
+
+def _instance_carry_columns(
+    df: DataFrame, checks: Sequence[CompiledCheck]
+) -> list[str]:
+    """Input columns referenced by any check's ``instance`` expression.
+
+    ONE analysis pass (never executed): project every instance against
+    ``df`` and read each aliased expression's references off the
+    analyzed plan. An instance that references a column absent from
+    ``df`` fails here, at plan-build time, with the offending check
+    named — not later with a bare AnalysisException from deep inside
+    the exploded plan. Falls back to each check's declared-column root
+    if the JVM plan introspection is unavailable (e.g. Spark Connect,
+    where ``_jdf`` does not exist)."""
+    try:
+        probe = df.select(
+            [ck.instance.alias(f"_i{i}") for i, ck in enumerate(checks)]
+        )
+        exprs = probe._jdf.queryExecution().analyzed().expressions()
+        refs: set[str] = set()
+        for i in range(exprs.length()):
+            it = exprs.apply(i).references().iterator()
+            while it.hasNext():
+                refs.add(it.next().name())
+        return [c for c in df.columns if c in refs]
+    except AttributeError:
+        # no classic-mode JVM handle — conservative fallback: declared
+        # column roots (documented on CompiledCheck as the portable
+        # contract for instance expressions)
+        carry: list[str] = []
+        seen: set[str] = set()
+        for ck in checks:
+            root = (ck.column or "").split(".", 1)[0]
+            if root and root in df.columns and root not in seen:
+                seen.add(root)
+                carry.append(root)
+        return carry
+    except Exception:
+        # combined analysis failed → per-check probes to name the
+        # culprit in the error
+        for ck in checks:
+            try:
+                df.select(ck.instance)._jdf.queryExecution().analyzed()
+            except Exception as e:
+                raise ValueError(
+                    f"check {ck.name!r}: instance expression does not "
+                    f"resolve against the input columns {df.columns}: {e}"
+                ) from e
+        raise
 
 
 def summary_plan(
@@ -388,18 +436,32 @@ def check_table(
     config = config or CheckConfig()
     dims = dims or {}
 
+    actual_cols = set(df.columns)
+    pk_present = [k for k in spec.primary_key if k in actual_cols]
+    row_key: Optional[Union[str, list]]
+    if len(pk_present) == 1:
+        row_key = pk_present[0]
+    elif pk_present:
+        row_key = pk_present
+    else:
+        row_key = None
+
     # Under-split inputs (a single small parquet file arrives as 1-2
     # partitions) would run the whole fused plan through one task —
     # measured 20-30 s for 15 jsonSchema checks over 100k one-partition
     # rows vs ~2 s spread. A production 10^12-row table always has
     # orders of magnitude more partitions than cores, so this guard
     # never fires there; locally the round-robin shuffle is small by
-    # construction. PK-based row addressing is unaffected; the no-key
-    # positional fallback (monotonically_increasing_id) was already
-    # partition-layout-dependent before this guard.
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        df = df.repartition(target)
+    # construction. Gated (ADVICE r3): opt out via
+    # ``CheckConfig(repartition_small_inputs=False)`` to preserve
+    # caller-provided co-partitioning/bucketing, and skipped entirely
+    # when there is no primary key — the positional jsonpath fallback
+    # (monotonically_increasing_id) must stay tied to the INPUT layout,
+    # not a round-robin shuffle's.
+    if config.repartition_small_inputs and row_key is not None:
+        target = df.sparkSession.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < target:
+            df = df.repartition(target)
 
     spec_issues = list(validate_spec(spec, version=config.version))
     spec_issues.extend(schema_conforms(df, spec))
@@ -425,7 +487,6 @@ def check_table(
             else:
                 raise TypeError(f"not a check or extension: {x!r}")
     checks = compile_table_checks(spec, extra=extra, schema=df.schema)
-    actual_cols = set(df.columns)
     # dotted column paths (nested RequiredCheck targets) are runnable
     # when their ROOT column exists
     runnable = [
@@ -433,14 +494,6 @@ def check_table(
         for c in checks
         if c.column is None or c.column.split(".", 1)[0] in actual_cols
     ]
-    pk_present = [k for k in spec.primary_key if k in actual_cols]
-    row_key: Optional[Union[str, list]]
-    if len(pk_present) == 1:
-        row_key = pk_present[0]
-    elif pk_present:
-        row_key = pk_present
-    else:
-        row_key = None
     partition = spec.partition_by[0] if spec.partition_by else None
 
     # plan pruning: checks whose every violation a type/whole-column

@@ -1857,7 +1857,7 @@ SELECT doc_id,
   CAST(len(regexp_extract_all(text,
     '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS BIGINT) AS n_ipv4,
   CAST(len(regexp_extract_all(text,
-    '\b\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b')) AS BIGINT) AS n_phone,
+    '(?:\+[0-9]{1,3}[-. ])?\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b')) AS BIGINT) AS n_phone,
   CAST(len(regexp_extract_all(text,
     '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) AS BIGINT) AS n_ssn,
   md5(
@@ -1867,7 +1867,7 @@ SELECT doc_id,
           regexp_replace(text,
             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[PII]', 'g'),
           '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '[PII]', 'g'),
-        '\b\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b', '[PII]', 'g'),
+        '(?:\+[0-9]{1,3}[-. ])?\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b', '[PII]', 'g'),
       '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '[PII]', 'g')
   ) AS redacted_md5
 FROM aug ORDER BY doc_id

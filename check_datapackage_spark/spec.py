@@ -338,6 +338,12 @@ class CheckConfig:
     #: max violation example rows persisted per (check, partition);
     #: summaries are always complete (SURVEY §4 short-circuit note).
     max_examples_per_check: Optional[int] = None
+    #: spread under-split inputs (fewer partitions than cores) across
+    #: the cluster before the fused scan. Opt out when the caller
+    #: pre-partitioned/bucketed the input deliberately; it is skipped
+    #: automatically when the spec has no primary key (positional
+    #: jsonpath addressing must stay tied to the input layout).
+    repartition_small_inputs: bool = True
 
     def __post_init__(self) -> None:
         if self.version not in ("v1", "v2"):

@@ -17,7 +17,12 @@ def run_cli(*args: str) -> subprocess.CompletedProcess:
         capture_output=True,
         text=True,
         cwd=REPO,
-        timeout=300,
+        # 900 s, not 300: the subprocess JVM contends with the suite's
+        # own 32-core session AND this Firecracker host throttles up to
+        # ~3× window-to-window (passes isolated in ~320 s on a host at
+        # 57% speed — VERDICT r3 "What's wrong" #3). A flaky-red suite
+        # hides real breaks; the assert below still gates correctness.
+        timeout=900,
         env={**os.environ, "PYTHONPATH": REPO},
     )
 
