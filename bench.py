@@ -6,10 +6,20 @@ ONE JSON line: {"metric", "value", "unit", "queries", "sf", ...}.
 per-query MEDIAN of $SPARK_GRAFT_BENCH_RUNS (default 3) timed runs —
 medians make the numbers contention-proof (a concurrent process
 inflating one run no longer moves the headline; round-1 bench recorded
-q30 at 72.6 s under contention vs 1.6 s quiet). The machine's 1-minute
-load average is recorded before and after so contaminated runs are
-visible in the output. Scaling-efficiency runs (N vs 4N cores) live in
-tools/scaling_bench.py which writes BENCH/BASELINE.md.
+q30 at 72.6 s under contention vs 1.6 s quiet).
+
+CALIBRATION GATE (round-4, VERDICT r3 #1): this Firecracker guest's
+effective CPU speed varies up to 7x window-to-window with /proc/stat
+steal at 0 — host-level throttling invisible to the guest, which made
+BENCH_r03 unreadable (its queries ran in a 29-82%-speed window). Every
+query is now bracketed by a CPU calibration spin; a query whose window
+ran below $SPARK_GRAFT_CAL_MIN_FRAC (default 0.8) of the quiet
+reference is DISCARDED and re-run (bounded retries + a global retry
+budget), and every recorded query carries its own calibration so a
+single throttled measurement is identifiable in the artifact.
+
+Scaling-efficiency runs (N vs 4N cores) live in tools/scaling_bench.py
+which writes BENCH/BASELINE.md.
 """
 
 from __future__ import annotations
@@ -28,67 +38,120 @@ from check_datapackage_spark.session import get_spark
 #: queries timed by the benchmark — every registered operator query.
 HEADLINE = sorted(QUERIES)
 
+#: quiet-window reference for cpu_calibration on this box, in
+#: iterations per second (~9.5M iters per 2 s spin, measured across
+#: several known-quiet windows in rounds 2-3).
+QUIET_ITERS_PER_SEC = 4.75e6
+#: seconds per calibration spin. 0.5 s x 2 per query keeps the gate's
+#: own overhead ~45 s over the 44-query suite.
+CAL_SECONDS = 0.5
+
+
+def cpu_calibration(seconds: float = CAL_SECONDS) -> float:
+    """Fixed pure-Python spin — iterations per SECOND of wall clock.
+    Recording this with every measurement makes throttled windows
+    visible in the artifact instead of reading as engine regressions."""
+    t0 = time.perf_counter()
+    x = 0
+    while time.perf_counter() - t0 < seconds:
+        x += 1
+    return x / seconds
+
+
+def wait_for_quiet(frac: float, max_wait: float) -> float:
+    """Spin-check the host speed up to ``max_wait`` s; return the last
+    measured iters/sec (which may still be below the bar — callers
+    record it either way)."""
+    deadline = time.monotonic() + max_wait
+    while True:
+        c = cpu_calibration()
+        if c >= frac * QUIET_ITERS_PER_SEC or time.monotonic() >= deadline:
+            return c
+        time.sleep(3.0)
+
 
 def run_suite(
-    spark, sf_dir: str, names=HEADLINE, runs: int = 3
-) -> tuple[dict, dict, int]:
-    """Median-of-``runs`` wall-clock per query.
+    spark,
+    sf_dir: str,
+    names=HEADLINE,
+    runs: int = 3,
+    cal_frac: float = 0.8,
+    max_retries: int = 2,
+    retry_budget_s: float = 600.0,
+) -> tuple[dict, dict, dict, list, int]:
+    """Median-of-``runs`` wall-clock per query, calibration-gated.
 
     Runs are interleaved per query (q's runs are back-to-back) so each
     query's first, cold execution (codegen compile, Python-worker
     spawn, cache population) is amortized into the later runs' medians
     rather than charged to whichever query happens to run first.
-    """
+
+    Each query is bracketed by CPU calibrations; if the slower bracket
+    is under ``cal_frac`` of the quiet reference the samples are
+    discarded and the query re-run (up to ``max_retries`` times,
+    sharing a global ``retry_budget_s`` so a fully-throttled host
+    still terminates). Queries still throttled after retries are
+    recorded with their calibration and listed in the returned
+    ``throttled`` list — visible, not silently contaminating."""
+    bar = cal_frac * QUIET_ITERS_PER_SEC
     times: dict[str, float] = {}
+    cals: dict[str, float] = {}
     rows: dict[str, int] = {}
+    throttled: list[str] = []
     total_rows = 0
+    budget = retry_budget_s
     for name in names:
-        samples = []
-        n = 0
-        for _ in range(runs):
-            t0 = time.perf_counter()
-            # toPandas = Arrow-batched result transfer (collect()
-            # serializes row-by-row through py4j — 5-10x slower for
-            # 100k+ row results)
-            n = len(QUERIES[name](spark, sf_dir).toPandas())
-            samples.append(time.perf_counter() - t0)
-            # drop intra-query persists so runs don't reuse each
-            # other's materialized caches (and queries don't interfere)
-            spark.catalog.clearCache()
-        times[name] = round(statistics.median(samples), 3)
-        rows[name] = n
-        total_rows += n
-    return times, rows, total_rows
-
-
-def cpu_calibration(seconds: float = 2.0) -> int:
-    """Fixed pure-Python spin — iterations completed in ``seconds`` of
-    wall clock. This Firecracker guest's effective CPU speed varies up
-    to 7× window-to-window (measured 2.6M vs 18.9M iters/4s an hour
-    apart, /proc/stat steal 0 both times — host-level throttling
-    invisible to the guest). Recording the calibration with every
-    bench run makes throttled windows visible in the numbers instead
-    of reading as engine regressions. Quiet-window reference on this
-    box: ~9.5M iters per 2 s."""
-    t0 = time.perf_counter()
-    x = 0
-    while time.perf_counter() - t0 < seconds:
-        x += 1
-    return x
+        attempt = 0
+        while True:
+            t_att = time.monotonic()
+            cal_pre = (
+                wait_for_quiet(cal_frac, max_wait=min(45.0, budget))
+                if attempt
+                else cpu_calibration()
+            )
+            samples = []
+            n = 0
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                # toPandas = Arrow-batched result transfer (collect()
+                # serializes row-by-row through py4j — 5-10x slower
+                # for 100k+ row results)
+                n = len(QUERIES[name](spark, sf_dir).toPandas())
+                samples.append(time.perf_counter() - t0)
+                # drop intra-query persists so runs don't reuse each
+                # other's materialized caches (and queries don't
+                # interfere)
+                spark.catalog.clearCache()
+            cal_post = cpu_calibration()
+            cal = min(cal_pre, cal_post)
+            if cal >= bar or attempt >= max_retries or budget <= 0:
+                if cal < bar:
+                    throttled.append(name)
+                times[name] = round(statistics.median(samples), 3)
+                cals[name] = round(cal)
+                rows[name] = n
+                total_rows += n
+                break
+            attempt += 1
+            budget -= time.monotonic() - t_att
+    return times, cals, rows, throttled, total_rows
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    cal_frac = float(os.environ.get("SPARK_GRAFT_CAL_MIN_FRAC", "0.8"))
     load_before = round(os.getloadavg()[0], 2)
-    cal_before = cpu_calibration()
+    cal_before = cpu_calibration(2.0)
     spark = get_spark("cdp-bench", cores=cores, shuffle_partitions=cores)
 
     # warm-up: JVM/codegen/Arrow paths (not timed)
     QUERIES["q02_profile_lineitem"](spark, sf_dir).collect()
 
-    times, rows, _ = run_suite(spark, sf_dir, runs=runs)
+    times, cals, rows, throttled, _ = run_suite(
+        spark, sf_dir, runs=runs, cal_frac=cal_frac
+    )
     total = round(sum(times.values()), 3)
 
     n_input = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
@@ -98,18 +161,23 @@ def main() -> None:
             {
                 "metric": (
                     f"validation suite wall-clock ({len(HEADLINE)} operator "
-                    f"queries, median of {runs} runs each)"
+                    f"queries, median of {runs} runs each, "
+                    f"calibration-gated at {cal_frac:.0%} quiet)"
                 ),
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "queries_cal_iters_per_sec": cals,
+                "throttled_queries": throttled,
+                "cal_quiet_reference": QUIET_ITERS_PER_SEC,
+                "cal_min_frac": cal_frac,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "cores": cores,
                 "runs_per_query": runs,
                 "loadavg_before": load_before,
                 "loadavg_after": round(os.getloadavg()[0], 2),
-                "cpu_cal_before": cal_before,
-                "cpu_cal_after": cpu_calibration(),
+                "cpu_cal_before": round(cal_before * 2),
+                "cpu_cal_after": round(cpu_calibration(2.0) * 2),
                 "lineitem_rows": n_input,
                 "rows_per_sec": round(n_input / total, 1),
             }

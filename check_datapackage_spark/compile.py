@@ -277,6 +277,248 @@ def _json_type_pred(tag: Column, dbl: Column, declared) -> Column:
     return pred
 
 
+def _unique_items_pred(arr_v: Column) -> Column:
+    """Draft-7 ``uniqueItems`` over an array<variant>: canonicalize each
+    element as ``<variant-schema>|<json-text>`` — the type tag keeps
+    ``1`` and ``"1"`` distinct (both stringify to ``1``), the JSON text
+    makes objects/arrays comparable — then compare the distinct size.
+    Duplicate JSON nulls canonicalize to SQL NULL on both sides of the
+    concat, which ``array_distinct`` also collapses, so ``[null,null]``
+    is correctly non-unique."""
+    canon = F.transform(
+        arr_v,
+        lambda x: F.concat(F.schema_of_variant(x), F.lit("|"), x.cast("string")),
+    )
+    return F.size(canon) == F.size(F.array_distinct(canon))
+
+
+#: Draft-7 annotation keywords — no validation semantics, always allowed
+#: inside combinator member schemas.
+_JS_ANNOTATIONS = frozenset(
+    {"title", "description", "default", "examples", "$comment", "$schema",
+     "$id", "deprecated", "readOnly", "writeOnly"}
+)
+#: validation keywords :func:`_schema_pred` implements.
+_JS_SUPPORTED = frozenset(
+    {"type", "enum", "const", "pattern", "multipleOf",
+     "minimum", "maximum", "exclusiveMinimum", "exclusiveMaximum",
+     "minLength", "maxLength", "minItems", "maxItems", "uniqueItems",
+     "items", "contains", "properties", "required",
+     "minProperties", "maxProperties", "additionalProperties",
+     "anyOf", "oneOf", "allOf", "not", "if", "then", "else"}
+)
+
+
+def _enum_member_pred(values, tag: Column, dbl: Column, sstr: Column) -> Column:
+    """True iff the variant value equals one of ``values`` (scalar
+    members, type-aware: ``1`` matches integer 1 but not ``"1"``)."""
+    member = F.lit(False)
+    for e in values:
+        if e is None:
+            member = member | (tag == "null")
+        elif isinstance(e, bool):  # before int: bool ⊂ int
+            member = member | (
+                (tag == "boolean") & (sstr == ("true" if e else "false"))
+            )
+        elif isinstance(e, (int, float)):
+            member = member | (
+                tag.isin("integer", "number") & (dbl == F.lit(float(e)))
+            )
+        elif isinstance(e, str):
+            member = member | ((tag == "string") & (sstr == e))
+    return member
+
+
+def _schema_pred(schema: dict, base: Column, path: str) -> Column:
+    """Satisfaction predicate for a Draft-7 sub-schema over the variant
+    value at ``path`` within variant ``base`` — the recursive core that
+    lets ``anyOf``/``oneOf``/``allOf``/``not`` compose anywhere inside a
+    ``jsonSchema`` constraint (reference: arbitrary Draft-7 via
+    ``jsonschema``, ref check.py:559-561).
+
+    The value is assumed PRESENT (callers guard absence per Draft-7
+    applicability); nested properties guard their own absence. Each
+    keyword predicate is applicability-guarded the same way the
+    top-level compile is (e.g. ``pattern`` is vacuous on non-strings).
+    Beyond the top-level compile's vocabulary it adds ``const``,
+    ``multipleOf``, ``contains``, ``minProperties``/``maxProperties``,
+    boolean ``additionalProperties`` and ``if``/``then``/``else``.
+    Unsupported keywords (``$ref``, ``patternProperties``,
+    ``dependencies``, schema-valued ``additionalProperties``, …) and
+    non-scalar ``enum``/``const`` members raise at compile time — a
+    silently-ignored keyword would validate wrongly, which is worse
+    than refusing."""
+    for key in schema:
+        if key not in _JS_SUPPORTED and key not in _JS_ANNOTATIONS:
+            raise ValueError(
+                f"jsonSchema keyword {key!r} is not supported inside "
+                f"combinator sub-schemas (supported: {sorted(_JS_SUPPORTED)})"
+            )
+    sub = F.try_variant_get(base, path, "variant")
+    tag = _variant_type_tag(sub)
+    dbl = F.try_variant_get(base, path, "double")
+    sstr = F.try_variant_get(base, path, "string")
+    not_num = ~tag.isin("integer", "number")
+    preds: list[Column] = []
+
+    declared = schema.get("type")
+    if declared:
+        preds.append(_json_type_pred(tag, dbl, declared))
+    if "enum" in schema or "const" in schema:
+        members = schema["enum"] if "enum" in schema else [schema["const"]]
+        for e in members:
+            if e is not None and not isinstance(e, (bool, int, float, str)):
+                raise ValueError(
+                    "non-scalar enum/const members are not supported "
+                    f"inside combinator sub-schemas: {e!r}"
+                )
+        preds.append(_enum_member_pred(members, tag, dbl, sstr))
+    if "pattern" in schema:
+        preds.append((tag != "string") | sstr.rlike(schema["pattern"]))
+    if "multipleOf" in schema:
+        m = float(schema["multipleOf"])
+        preds.append(not_num | ((dbl % F.lit(m)) == 0))
+    for kw, op in (
+        ("minimum", lambda m: dbl >= F.lit(float(m))),
+        ("maximum", lambda m: dbl <= F.lit(float(m))),
+        ("exclusiveMinimum", lambda m: dbl > F.lit(float(m))),
+        ("exclusiveMaximum", lambda m: dbl < F.lit(float(m))),
+    ):
+        if kw in schema:
+            preds.append(not_num | op(schema[kw]))
+    if "minLength" in schema:
+        preds.append(
+            (tag != "string") | (F.length(sstr) >= F.lit(int(schema["minLength"])))
+        )
+    if "maxLength" in schema:
+        preds.append(
+            (tag != "string") | (F.length(sstr) <= F.lit(int(schema["maxLength"])))
+        )
+
+    arr_kw = any(
+        k in schema
+        for k in ("minItems", "maxItems", "uniqueItems", "items", "contains")
+    )
+    if arr_kw:
+        arr_v = F.try_variant_get(base, path, "array<variant>")
+        not_array = tag != "array"
+        if "minItems" in schema:
+            preds.append(not_array | (F.size(arr_v) >= F.lit(int(schema["minItems"]))))
+        if "maxItems" in schema:
+            preds.append(not_array | (F.size(arr_v) <= F.lit(int(schema["maxItems"]))))
+        if schema.get("uniqueItems"):
+            preds.append(not_array | _unique_items_pred(arr_v))
+        items = schema.get("items")
+        if isinstance(items, dict):
+            elem = (
+                lambda s: lambda x: F.coalesce(
+                    _schema_pred(s, x, "$"), F.lit(False)
+                )
+            )(items)
+            preds.append(not_array | F.forall(arr_v, elem))
+        contains = schema.get("contains")
+        if isinstance(contains, dict):
+            # Draft-7: at least one element matches (empty arrays fail)
+            elem = (
+                lambda s: lambda x: F.coalesce(
+                    _schema_pred(s, x, "$"), F.lit(False)
+                )
+            )(contains)
+            preds.append(not_array | F.exists(arr_v, elem))
+
+    # object keywords: key presence via json_object_keys of the value's
+    # JSON text (variant→string cast); non-objects are vacuous.
+    obj_kw = any(
+        k in schema
+        for k in ("required", "properties", "minProperties",
+                  "maxProperties", "additionalProperties")
+    )
+    if obj_kw:
+        keys = F.json_object_keys(sub.cast("string"))
+        for prop in schema.get("required", []):
+            preds.append(keys.isNull() | F.array_contains(keys, F.lit(prop)))
+        for prop, ps in (schema.get("properties") or {}).items():
+            if not isinstance(ps, dict):
+                continue
+            child_path = f"{path}.{prop}"
+            child = F.try_variant_get(base, child_path, "variant")
+            preds.append(
+                keys.isNull()
+                | child.isNull()
+                | F.coalesce(_schema_pred(ps, base, child_path), F.lit(False))
+            )
+        if "minProperties" in schema:
+            m = int(schema["minProperties"])
+            preds.append(keys.isNull() | (F.size(keys) >= F.lit(m)))
+        if "maxProperties" in schema:
+            m = int(schema["maxProperties"])
+            preds.append(keys.isNull() | (F.size(keys) <= F.lit(m)))
+        ap = schema.get("additionalProperties")
+        if ap is False:
+            declared = list((schema.get("properties") or {}).keys())
+            if declared:
+                lit_arr = F.array(*[F.lit(p) for p in declared])
+                preds.append(
+                    keys.isNull()
+                    | F.forall(keys, lambda k: F.array_contains(lit_arr, k))
+                )
+            else:
+                preds.append(keys.isNull() | (F.size(keys) == 0))
+        elif isinstance(ap, dict):
+            # schema-valued additionalProperties needs value access by a
+            # DYNAMIC key — not expressible with path-based variant gets
+            raise ValueError(
+                "additionalProperties only supports the boolean form "
+                "inside combinator sub-schemas"
+            )
+
+    # if/then/else: (P(if) → P(then)) ∧ (¬P(if) → P(else))
+    if isinstance(schema.get("if"), dict):
+        cond = F.coalesce(_schema_pred(schema["if"], base, path), F.lit(False))
+        if isinstance(schema.get("then"), dict):
+            preds.append(
+                ~cond
+                | F.coalesce(_schema_pred(schema["then"], base, path), F.lit(False))
+            )
+        if isinstance(schema.get("else"), dict):
+            preds.append(
+                cond
+                | F.coalesce(_schema_pred(schema["else"], base, path), F.lit(False))
+            )
+
+    for comb in ("anyOf", "oneOf", "allOf"):
+        subs = schema.get(comb)
+        if subs:
+            member_preds = [
+                F.coalesce(_schema_pred(s, base, path), F.lit(False)) for s in subs
+            ]
+            if comb == "anyOf":
+                c = member_preds[0]
+                for p in member_preds[1:]:
+                    c = c | p
+            elif comb == "allOf":
+                c = member_preds[0]
+                for p in member_preds[1:]:
+                    c = c & p
+            else:
+                n = F.lit(0)
+                for p in member_preds:
+                    n = n + p.cast("int")
+                c = n == 1
+            preds.append(c)
+    if "not" in schema:
+        preds.append(
+            ~F.coalesce(_schema_pred(schema["not"], base, path), F.lit(False))
+        )
+
+    if not preds:
+        return F.lit(True)
+    out = preds[0]
+    for p in preds[1:]:
+        out = out & p
+    return out
+
+
 def compile_json_schema_checks(
     field: FieldSpec, actual_type: Optional[str] = None
 ) -> list[CompiledCheck]:
@@ -296,14 +538,20 @@ def compile_json_schema_checks(
     ``minimum``/``maximum``/``exclusiveMinimum``/``exclusiveMaximum``
     (numbers only); ``minLength``/``maxLength`` (strings only);
     ``minItems``/``maxItems``/``items.type`` (arrays only, elements
-    type-checked per item via array<variant> + ``forall``); NESTED
-    ``properties`` / ``required`` of object-typed properties at any
-    depth; and ``items.required`` for arrays of objects (the
-    strict-mode contributors/sources item-``title`` rule, ref
-    check.py:533-534). This is every constraint keyword the reference's
-    own schema uses in its constraint sub-schemas except
-    ``uniqueItems`` (declared via TableSpec's declarative constraint
-    instead — variant arrays have no generic dedup expression).
+    type-checked per item via array<variant> + ``forall``);
+    ``uniqueItems`` (variant elements canonicalized as
+    type-tag + JSON text, see :func:`_unique_items_pred` — closed the
+    round-3 documented gap); NESTED ``properties`` / ``required`` of
+    object-typed properties at any depth; ``items.required`` for arrays
+    of objects (the strict-mode contributors/sources item-``title``
+    rule, ref check.py:533-534); and Draft-7 COMBINATORS —
+    ``anyOf``/``oneOf``/``allOf``/``not`` of sub-schemas, at the root
+    or on any property, composed recursively by :func:`_schema_pred`
+    into one fused predicate per combinator (the other round-3 gap;
+    reference accepts arbitrary Draft-7 there via ``jsonschema``, ref
+    check.py:559-561). Keywords ``_schema_pred`` does not implement
+    (``$ref``, ``if``/``then``/``else``, ``patternProperties``, …)
+    are rejected at compile time rather than silently ignored.
 
     Every per-property keyword is a no-op when the property is absent
     or the parent is not an object (Draft-7 applicability). All
@@ -471,9 +719,11 @@ def compile_json_schema_checks(
             # array keywords: variant→array<variant> cast gives the
             # elements; Draft-7 applicability makes every keyword a
             # no-op on non-arrays.
-            arr_kw = any(
-                k in sub_schema for k in ("minItems", "maxItems")
-            ) or isinstance(sub_schema.get("items"), dict)
+            arr_kw = (
+                any(k in sub_schema for k in ("minItems", "maxItems"))
+                or sub_schema.get("uniqueItems")
+                or isinstance(sub_schema.get("items"), dict)
+            )
             if arr_kw:
                 arr_v = F.try_variant_get(v, path, "array<variant>")
                 not_array = tag != "array"
@@ -492,6 +742,13 @@ def compile_json_schema_checks(
                         "maxItems",
                         f"{dotted} has more than {m} items",
                         absent | not_array | (F.size(arr_v) <= F.lit(m)),
+                    )
+                if sub_schema.get("uniqueItems"):
+                    add(
+                        f"{kprefix}uniqueItems",
+                        "uniqueItems",
+                        f"{dotted} items are not unique",
+                        absent | not_array | _unique_items_pred(arr_v),
                     )
                 items = sub_schema.get("items")
                 if isinstance(items, dict) and items.get("type"):
@@ -512,10 +769,140 @@ def compile_json_schema_checks(
                         f"{dotted} items are not of type '{shown}'",
                         absent | not_array | F.forall(arr_v, elem_pred),
                     )
+            # nested Draft-7 combinators of sub-schemas — each compiles
+            # to ONE fused predicate via the recursive _schema_pred, so
+            # an anyOf of 4 alternatives is still zero extra scans.
+            for comb, msg in (
+                ("anyOf", "does not match any of the allowed schemas"),
+                ("oneOf", "does not match exactly one of the allowed schemas"),
+                ("allOf", "does not match all of the required schemas"),
+            ):
+                subs = sub_schema.get(comb)
+                if subs:
+                    member = [
+                        F.coalesce(_schema_pred(s, v, path), F.lit(False))
+                        for s in subs
+                    ]
+                    if comb == "anyOf":
+                        okc = member[0]
+                        for p in member[1:]:
+                            okc = okc | p
+                    elif comb == "allOf":
+                        okc = member[0]
+                        for p in member[1:]:
+                            okc = okc & p
+                    else:
+                        cnt = F.lit(0)
+                        for p in member:
+                            cnt = cnt + p.cast("int")
+                        okc = cnt == 1
+                    add(f"{kprefix}{comb}", comb, f"{dotted} {msg}", absent | okc)
+            if "not" in sub_schema:
+                add(
+                    f"{kprefix}not",
+                    "not",
+                    f"{dotted} matches the disallowed schema",
+                    absent
+                    | ~F.coalesce(
+                        _schema_pred(sub_schema["not"], v, path), F.lit(False)
+                    ),
+                )
+            # extended Draft-7 keywords at property level, each its own
+            # check compiled through the recursive predicate core
+            for kw, msg in (
+                ("const", "is not the const value"),
+                ("multipleOf", "is not a multiple of the declared divisor"),
+                ("contains", "has no item matching the contains schema"),
+                ("minProperties", "has fewer properties than the minimum"),
+                ("maxProperties", "has more properties than the maximum"),
+                ("additionalProperties",
+                 "has properties outside the declared set"),
+                ("if", "violates the conditional schema"),
+            ):
+                if kw not in sub_schema:
+                    continue
+                if kw == "additionalProperties" and sub_schema[kw] is True:
+                    continue  # boolean true = Draft-7 default, a no-op
+                if kw == "if":
+                    if not (
+                        isinstance(sub_schema.get("then"), dict)
+                        or isinstance(sub_schema.get("else"), dict)
+                    ):
+                        continue  # if without then/else is a no-op
+                    mini = {
+                        k: sub_schema[k]
+                        for k in ("if", "then", "else")
+                        if k in sub_schema
+                    }
+                elif kw == "additionalProperties":
+                    # the subset check needs the declared property NAMES
+                    # only — empty sub-schemas validate trivially
+                    mini = {
+                        "additionalProperties": sub_schema[kw],
+                        "properties": {
+                            p: {} for p in (sub_schema.get("properties") or {})
+                        },
+                    }
+                else:
+                    mini = {kw: sub_schema[kw]}
+                add(
+                    f"{kprefix}{kw}",
+                    kw,
+                    f"{dotted} {msg}",
+                    absent | F.coalesce(_schema_pred(mini, v, path), F.lit(False)),
+                )
             if sub_schema.get("properties") or sub_schema.get("required"):
                 walk(sub_schema, path, kprefix, f"{dotted}.")
 
     walk(js, "$", "", "")
+
+    # root-level combinators and uniqueItems over the whole value —
+    # ``jsonSchema: {"anyOf": [...]}`` / ``{"type":"array",
+    # "uniqueItems": true}``. Invalid JSON passes vacuously (the
+    # top-level type check owns that failure, same as ``required``).
+    root_absent = col.isNull() | v.isNull()
+    for comb, msg in (
+        ("anyOf", "does not match any of the allowed schemas"),
+        ("oneOf", "does not match exactly one of the allowed schemas"),
+        ("allOf", "does not match all of the required schemas"),
+    ):
+        subs = js.get(comb)
+        if subs:
+            member = [
+                F.coalesce(_schema_pred(s, v, "$"), F.lit(False)) for s in subs
+            ]
+            if comb == "anyOf":
+                okc = member[0]
+                for p in member[1:]:
+                    okc = okc | p
+            elif comb == "allOf":
+                okc = member[0]
+                for p in member[1:]:
+                    okc = okc & p
+            else:
+                cnt = F.lit(0)
+                for p in member:
+                    cnt = cnt + p.cast("int")
+                okc = cnt == 1
+        else:
+            continue
+        add(comb, comb, f"value {msg}", root_absent | okc)
+    if "not" in js:
+        add(
+            "not",
+            "not",
+            "value matches the disallowed schema",
+            root_absent
+            | ~F.coalesce(_schema_pred(js["not"], v, "$"), F.lit(False)),
+        )
+    if js.get("uniqueItems"):
+        root_arr = F.try_variant_get(v, "$", "array<variant>")
+        add(
+            "uniqueItems",
+            "uniqueItems",
+            "array items are not unique",
+            root_absent | root_arr.isNull() | _unique_items_pred(root_arr),
+        )
 
     items_required = (js.get("items") or {}).get("required", [])
     if items_required:

@@ -51,7 +51,14 @@ def _compress(means: np.ndarray, weights: np.ndarray, delta: int) -> tuple[np.nd
             cur_m, cur_w = m, w
     out_m.append(cur_m)
     out_w.append(cur_w)
-    return np.asarray(out_m), np.asarray(out_w)
+    out = np.asarray(out_m)
+    # FP hygiene: the iterative weighted mean can overshoot its group's
+    # bounds by ~n·eps (hypothesis found a sub-ulp centroid inversion
+    # with heavy duplicates at 1e6 magnitude). True centroid means are
+    # monotone non-decreasing and inside the data range — clamp both
+    # properties back so downstream np.interp sees sorted x.
+    out = np.maximum.accumulate(np.clip(out, means[0], means[-1]))
+    return out, np.asarray(out_w)
 
 
 def partition_digests(df: DataFrame, column: str, delta: int = 200) -> DataFrame:

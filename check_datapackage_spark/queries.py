@@ -1922,6 +1922,158 @@ FROM e GROUP BY source ORDER BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# q44 — jsonSchema Draft-7 combinators + uniqueItems (round-4 compile gaps)
+# ---------------------------------------------------------------------------
+
+
+def q44_json_schema_combinators(spark, sf_dir):
+    """The round-3 typed-jsonSchema gaps, closed and oracle-checked:
+    ``uniqueItems`` over variant arrays (type-tag + JSON-text
+    canonicalization keeps [1,"1"] unique while catching duplicate
+    scalars and objects) and nested Draft-7 combinators —
+    ``anyOf``/``oneOf``/``allOf``/``not`` of sub-schemas composed by
+    ``compile._schema_pred`` into ONE fused predicate per combinator
+    (reference: arbitrary Draft-7 via jsonschema, ref
+    check.py:559-561). Corruption planted deterministically from
+    event_id; the DuckDB twin decides types with json_type() and
+    canonicalizes array items as JSON text."""
+    from .plans.validation import check_table
+
+    ev = _t(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    staged = ev.select(
+        "event_id",
+        F.when(eid % 7 == 0, F.lit('{"tags": [1, 2, 2]}'))
+        .when(eid % 11 == 0, F.lit('{"tags": [1, "1"], "k": "ok"}'))
+        .when(eid % 13 == 0, F.lit('{"tags": [{"x": 1}, {"x": 1}]}'))
+        .when(eid % 17 == 0, F.lit('{"k": -5}'))
+        .when(eid % 19 == 0, F.lit('{"k": 1.5}'))
+        .when(eid % 23 == 0, F.lit('{"m": 10}'))
+        .when(eid % 29 == 0, F.lit('{"m": 3}'))
+        .when(eid % 31 == 0, F.lit('{"q": "str"}'))
+        .otherwise(
+            F.concat(
+                F.lit('{"k": '),
+                (eid % 50).cast("string"),
+                F.lit(', "m": '),
+                ((eid % 20) * 2).cast("string"),
+                F.lit("}"),
+            )
+        )
+        .alias("props"),
+    )
+    spec = TableSpec.from_dict(
+        {
+            "name": "events_js_comb",
+            "schema": {
+                "fields": [
+                    {
+                        "name": "props",
+                        "type": "string",
+                        "constraints": {
+                            "jsonSchema": {
+                                "type": "object",
+                                "properties": {
+                                    "tags": {"uniqueItems": True},
+                                    "k": {
+                                        "anyOf": [
+                                            {"type": "string"},
+                                            {"type": "integer", "minimum": 0},
+                                        ]
+                                    },
+                                    # multiples of 2 / of 5: exactly one
+                                    # must hold, so m divisible by 10
+                                    # (both) or odd non-multiple-of-5
+                                    # (neither) fails
+                                    "m": {
+                                        "oneOf": [
+                                            {"multipleOf": 2},
+                                            {"multipleOf": 5},
+                                        ]
+                                    },
+                                    "q": {"not": {"type": "string"}},
+                                },
+                            }
+                        },
+                    }
+                ],
+                "primaryKey": ["event_id"],
+            },
+        }
+    )
+    res = check_table(staged, spec)
+    return _sorted(res.violations, "jsonpath", "type", "check")
+
+
+Q44_SQL = """
+WITH s AS (
+  SELECT event_id,
+         CASE WHEN event_id % 7 = 0 THEN '{"tags": [1, 2, 2]}'
+              WHEN event_id % 11 = 0 THEN '{"tags": [1, "1"], "k": "ok"}'
+              WHEN event_id % 13 = 0 THEN '{"tags": [{"x": 1}, {"x": 1}]}'
+              WHEN event_id % 17 = 0 THEN '{"k": -5}'
+              WHEN event_id % 19 = 0 THEN '{"k": 1.5}'
+              WHEN event_id % 23 = 0 THEN '{"m": 10}'
+              WHEN event_id % 29 = 0 THEN '{"m": 3}'
+              WHEN event_id % 31 = 0 THEN '{"q": "str"}'
+              ELSE '{"k": ' || CAST(event_id % 50 AS VARCHAR) ||
+                   ', "m": ' || CAST((event_id % 20) * 2 AS VARCHAR) || '}'
+         END AS props
+  FROM events),
+x AS (
+  SELECT event_id, props,
+         json_type(props, '$.tags') AS tg_t,
+         json_extract(props, '$.tags[*]') AS tg_l,
+         json_type(props, '$.k') AS k_t,
+         TRY_CAST(json_extract(props, '$.k') AS DOUBLE) AS k_d,
+         json_type(props, '$.m') AS m_t,
+         TRY_CAST(json_extract(props, '$.m') AS DOUBLE) AS m_d,
+         json_type(props, '$.q') AS q_t
+  FROM s),
+y AS (
+  SELECT *,
+         (m_t NOT IN ('BIGINT','UBIGINT','DOUBLE') OR (m_d % 2) = 0) AS m2,
+         (m_t NOT IN ('BIGINT','UBIGINT','DOUBLE') OR (m_d % 5) = 0) AS m5
+  FROM x),
+viol AS (
+  SELECT event_id, props, 'uniqueItems' AS type,
+         'tags items are not unique' AS message,
+         'props.jsonSchema.properties.tags.uniqueItems' AS "check"
+  FROM y WHERE tg_t = 'ARRAY'
+    AND len(tg_l) <> len(list_distinct(list_transform(tg_l,
+                                                      z -> CAST(z AS VARCHAR))))
+  UNION ALL
+  SELECT event_id, props, 'anyOf',
+         'k does not match any of the allowed schemas',
+         'props.jsonSchema.properties.k.anyOf'
+  FROM y WHERE k_t IS NOT NULL
+    AND NOT (k_t = 'VARCHAR'
+             OR ((k_t IN ('BIGINT','UBIGINT')
+                  OR (k_t = 'DOUBLE' AND k_d = floor(k_d)))
+                 AND k_d >= 0))
+  UNION ALL
+  SELECT event_id, props, 'oneOf',
+         'm does not match exactly one of the allowed schemas',
+         'props.jsonSchema.properties.m.oneOf'
+  FROM y WHERE m_t IS NOT NULL
+    AND CAST(m2 AS INT) + CAST(m5 AS INT) <> 1
+  UNION ALL
+  SELECT event_id, props, 'not',
+         'q matches the disallowed schema',
+         'props.jsonSchema.properties.q.not'
+  FROM y WHERE q_t IS NOT NULL AND q_t = 'VARCHAR'
+)
+SELECT '$.events_js_comb[' || CAST(event_id AS VARCHAR) || '].props' AS jsonpath,
+       type, message, props AS instance, "check",
+       'props' AS "column",
+       CAST(event_id AS VARCHAR) AS row_key,
+       CAST(NULL AS VARCHAR) AS partition
+FROM viol
+ORDER BY jsonpath, type, "check"
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_profile_lineitem": q02_profile_lineitem,
@@ -1966,6 +2118,7 @@ QUERIES = {
     "q41_repetition": q41_repetition,
     "q42_pii": q42_pii,
     "q43_stratified_mix": q43_stratified_mix,
+    "q44_json_schema_combinators": q44_json_schema_combinators,
 }
 
 ORACLES = {
@@ -2009,6 +2162,7 @@ ORACLES = {
     "q41_repetition": Q41_SQL,
     "q42_pii": Q42_SQL,
     "q43_stratified_mix": Q43_SQL,
+    "q44_json_schema_combinators": Q44_SQL,
     # q21/q32/q37: rows-only by design — approximate ANN top-k
     # (recall < 1 is intrinsic at honest params) and t-digest sketches
     # have no exact SQL twin.

@@ -488,3 +488,257 @@ def test_json_schema_array_and_length_keywords(spark):
         ("9", "props.jsonSchema.properties.n.exclusiveMinimum"),
         ("10", "props.jsonSchema.properties.n.exclusiveMaximum"),
     }
+
+
+def test_json_schema_unique_items(spark):
+    """uniqueItems over variant arrays: type-tag canonicalization keeps
+    [1,"1"] unique, catches duplicate scalars, objects, and JSON nulls
+    — the round-3 documented gap, now closed."""
+    rows = [
+        (1, '{"tags": [1, 2, 3]}'),  # pass
+        (2, '{"tags": [1, 2, 2]}'),  # dup scalar → FAIL
+        (3, '{"tags": [1, "1"]}'),  # type-distinct → pass
+        (4, '{"tags": [{"x": 1}, {"x": 1}]}'),  # dup objects → FAIL
+        (5, '{"tags": [null, null]}'),  # dup nulls → FAIL
+        (6, '{"tags": "notarray"}'),  # non-array → vacuous
+        (7, '{"j": 0}'),  # absent → vacuous
+    ]
+    df = spark.createDataFrame(rows, "id int, props string")
+    out = _violations(
+        df,
+        {
+            "name": "t",
+            "schema": {
+                "primaryKey": ["id"],
+                "fields": [
+                    {
+                        "name": "props",
+                        "type": "string",
+                        "constraints": {
+                            "jsonSchema": {
+                                "type": "object",
+                                "properties": {"tags": {"uniqueItems": True}},
+                            }
+                        },
+                    }
+                ],
+            },
+        },
+    )
+    got = {(r["row_key"], r["check"]) for r in out}
+    assert got == {
+        ("2", "props.jsonSchema.properties.tags.uniqueItems"),
+        ("4", "props.jsonSchema.properties.tags.uniqueItems"),
+        ("5", "props.jsonSchema.properties.tags.uniqueItems"),
+    }
+    assert all(r["type"] == "uniqueItems" for r in out)
+
+
+def test_json_schema_nested_combinators(spark):
+    """anyOf/oneOf/allOf/not of sub-schemas compose recursively inside
+    a jsonSchema constraint (reference: full Draft-7 via jsonschema)."""
+    rows = [
+        (1, '{"k": "abc", "m": 4, "q": 2}'),  # all pass
+        (2, '{"k": 5, "m": 4, "q": 2}'),  # k anyOf: integer ≥0 → pass
+        (3, '{"k": -5, "m": 4, "q": 2}'),  # k anyOf FAIL (neg int)
+        (4, '{"k": 1.5, "m": 4, "q": 2}'),  # k anyOf FAIL (fraction)
+        (5, '{"k": "abc", "m": 10, "q": 2}'),  # m oneOf FAIL (matches both)
+        (6, '{"k": "abc", "m": 3, "q": 2}'),  # m oneOf FAIL (matches none)
+        (7, '{"k": "abc", "m": 4, "q": "zz"}'),  # q not FAIL (is string)
+        (8, '{"m": 4}'),  # absent k/q → vacuous
+    ]
+    df = spark.createDataFrame(rows, "id int, props string")
+    out = _violations(
+        df,
+        {
+            "name": "t",
+            "schema": {
+                "primaryKey": ["id"],
+                "fields": [
+                    {
+                        "name": "props",
+                        "type": "string",
+                        "constraints": {
+                            "jsonSchema": {
+                                "type": "object",
+                                "properties": {
+                                    "k": {
+                                        "anyOf": [
+                                            {"type": "string"},
+                                            {"type": "integer", "minimum": 0},
+                                        ]
+                                    },
+                                    # multiples of 2 / of 5: 4 → exactly
+                                    # one, 10 → both, 3 → none
+                                    "m": {
+                                        "oneOf": [
+                                            {"multipleOf": 2},
+                                            {"multipleOf": 5},
+                                        ]
+                                    },
+                                    "q": {"not": {"type": "string"}},
+                                },
+                            }
+                        },
+                    }
+                ],
+            },
+        },
+    )
+    got = {(r["row_key"], r["check"]) for r in out}
+    assert got == {
+        ("3", "props.jsonSchema.properties.k.anyOf"),
+        ("4", "props.jsonSchema.properties.k.anyOf"),
+        ("5", "props.jsonSchema.properties.m.oneOf"),
+        ("6", "props.jsonSchema.properties.m.oneOf"),
+        ("7", "props.jsonSchema.properties.q.not"),
+    }
+    types = {r["check"]: r["type"] for r in out}
+    assert types["props.jsonSchema.properties.k.anyOf"] == "anyOf"
+    assert types["props.jsonSchema.properties.m.oneOf"] == "oneOf"
+    assert types["props.jsonSchema.properties.q.not"] == "not"
+
+
+def test_json_schema_root_combinator_and_nested_required(spark):
+    """Root-level anyOf over the whole value; combinator members may
+    carry nested properties/required/const and deeper combinators."""
+    rows = [
+        (1, '{"name": "a"}'),  # member 1 (object with name) → pass
+        (2, '"ok"'),  # member 2 (the const string) → pass
+        (3, '{"x": 1}'),  # object missing name → FAIL
+        (4, '"nope"'),  # wrong const → FAIL
+        (5, "7"),  # neither → FAIL
+        (6, None),  # null column → vacuous
+    ]
+    df = spark.createDataFrame(rows, "id int, props string")
+    out = _violations(
+        df,
+        {
+            "name": "t",
+            "schema": {
+                "primaryKey": ["id"],
+                "fields": [
+                    {
+                        "name": "props",
+                        "type": "string",
+                        "constraints": {
+                            "jsonSchema": {
+                                "anyOf": [
+                                    {
+                                        "type": "object",
+                                        "required": ["name"],
+                                        "properties": {
+                                            "name": {"type": "string"}
+                                        },
+                                    },
+                                    {"const": "ok"},
+                                ]
+                            }
+                        },
+                    }
+                ],
+            },
+        },
+    )
+    got = {(r["row_key"], r["check"]) for r in out}
+    assert got == {
+        ("3", "props.jsonSchema.anyOf"),
+        ("4", "props.jsonSchema.anyOf"),
+        ("5", "props.jsonSchema.anyOf"),
+    }
+
+
+def test_json_schema_unsupported_keyword_raises(spark):
+    """Silently ignoring an unimplemented Draft-7 keyword would
+    validate wrongly — _schema_pred refuses at compile time instead."""
+    import pytest as _pytest
+
+    from check_datapackage_spark.compile import compile_json_schema_checks
+    from check_datapackage_spark.spec import FieldSpec, Constraints
+
+    f = FieldSpec(
+        name="props",
+        type="string",
+        constraints=Constraints(
+            json_schema={"anyOf": [{"$ref": "#/definitions/x"}]}
+        ),
+    )
+    with _pytest.raises(ValueError, match=r"\$ref"):
+        compile_json_schema_checks(f)
+
+
+def test_json_schema_extended_keywords(spark):
+    """const, multipleOf, contains, minProperties/maxProperties,
+    additionalProperties:false and if/then/else — each compiled through
+    _schema_pred as its own property-level check."""
+    rows = [
+        (1, '{"v": "fixed", "n": 6, "a": [1, "x"], "o": {"p": 1},'
+            ' "c": {"kind": "circle", "radius": 2}}'),  # all pass
+        (2, '{"v": "other"}'),  # const FAIL
+        (3, '{"n": 7}'),  # multipleOf FAIL
+        (4, '{"a": [1, 2]}'),  # contains (needs a string item) FAIL
+        (5, '{"a": []}'),  # contains FAIL (empty array)
+        (6, '{"o": {}}'),  # minProperties FAIL
+        (7, '{"o": {"p": 1, "q": 2, "r": 3}}'),  # maxProperties FAIL
+        (8, '{"o": {"zz": 1}}'),  # additionalProperties FAIL (+1 pass minProps)
+        (9, '{"c": {"kind": "circle"}}'),  # if/then FAIL (circle needs radius)
+        (10, '{"c": {"kind": "square"}}'),  # else branch passes
+        (11, '{"n": 10}'),  # multipleOf 3 FAIL (10 % 3 != 0)
+    ]
+    df = spark.createDataFrame(rows, "id int, props string")
+    out = _violations(
+        df,
+        {
+            "name": "t",
+            "schema": {
+                "primaryKey": ["id"],
+                "fields": [
+                    {
+                        "name": "props",
+                        "type": "string",
+                        "constraints": {
+                            "jsonSchema": {
+                                "type": "object",
+                                "properties": {
+                                    "v": {"const": "fixed"},
+                                    "n": {"multipleOf": 3},
+                                    "a": {"contains": {"type": "string"}},
+                                    "o": {
+                                        "minProperties": 1,
+                                        "maxProperties": 2,
+                                        "additionalProperties": False,
+                                        "properties": {
+                                            "p": {"type": "integer"},
+                                            "q": {"type": "integer"},
+                                        },
+                                    },
+                                    "c": {
+                                        "if": {
+                                            "properties": {
+                                                "kind": {"const": "circle"}
+                                            }
+                                        },
+                                        "then": {"required": ["radius"]},
+                                        "else": {"required": ["kind"]},
+                                    },
+                                },
+                            }
+                        },
+                    }
+                ],
+            },
+        },
+    )
+    got = {(r["row_key"], r["check"]) for r in out}
+    assert got == {
+        ("2", "props.jsonSchema.properties.v.const"),
+        ("3", "props.jsonSchema.properties.n.multipleOf"),
+        ("4", "props.jsonSchema.properties.a.contains"),
+        ("5", "props.jsonSchema.properties.a.contains"),
+        ("6", "props.jsonSchema.properties.o.minProperties"),
+        ("7", "props.jsonSchema.properties.o.maxProperties"),
+        ("7", "props.jsonSchema.properties.o.additionalProperties"),
+        ("8", "props.jsonSchema.properties.o.additionalProperties"),
+        ("9", "props.jsonSchema.properties.c.if"),
+        ("11", "props.jsonSchema.properties.n.multipleOf"),
+    }

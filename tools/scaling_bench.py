@@ -124,6 +124,10 @@ def generate(n_rows: int) -> None:
         raise RuntimeError(f"generation failed:\n{p.stdout}\n{p.stderr}")
 
 
+#: quiet-window reference for the 2 s calibration spin on this box.
+QUIET_CAL = 9.5e6
+
+
 def run_child(cores: int, runs: int) -> dict:
     p = subprocess.run(
         [sys.executable, "-c", CHILD % _fmt(), str(cores), str(runs)],
@@ -135,18 +139,46 @@ def run_child(cores: int, runs: int) -> dict:
     raise RuntimeError(f"no RESULT in child output:\n{p.stdout}\n{p.stderr}")
 
 
-def measure_ladder(lo_cores: int, hi_cores: int, runs: int) -> dict:
+def run_child_gated(
+    cores: int, runs: int, cal_frac: float, max_retries: int = 2
+) -> dict:
+    """Calibration-gated child (VERDICT r3 #5): a child whose 2 s CPU
+    spin ran below ``cal_frac`` of the quiet reference measured a
+    throttled host window, not the plan — discard and re-run, bounded.
+    The surviving child carries ``cal_ok`` so the ladder can be stamped
+    calibration-clean (or honestly not)."""
+    got = None
+    for attempt in range(max_retries + 1):
+        got = run_child(cores, runs)
+        cal = min(got["cal"])
+        got["cal_ok"] = cal >= cal_frac * QUIET_CAL
+        if got["cal_ok"] or attempt == max_retries:
+            return got
+        print(
+            f"child cores={cores} ran throttled (cal {cal / 1e6:.1f}M "
+            f"< {cal_frac * QUIET_CAL / 1e6:.1f}M) — discarding, retry "
+            f"{attempt + 1}/{max_retries}",
+            flush=True,
+        )
+    return got
+
+
+def measure_ladder(
+    lo_cores: int, hi_cores: int, runs: int, cal_frac: float = 0.8
+) -> dict:
     lo: list[float] = []
     hi: list[float] = []
     cals: list[tuple[int, list[int]]] = []
+    clean = True
     # A-B-B-A: slow host drift lands symmetrically on both levels
     for cores, sink in ((lo_cores, lo), (hi_cores, hi), (hi_cores, hi), (lo_cores, lo)):
-        got = run_child(cores, runs)
+        got = run_child_gated(cores, runs, cal_frac)
         sink.extend(got["times"])
         cals.append((cores, got["cal"]))
+        clean = clean and got["cal_ok"]
         print(
             f"child cores={cores}: {['%.1f' % x for x in got['times']]}"
-            f" cal={got['cal']}",
+            f" cal={got['cal']} cal_ok={got['cal_ok']}",
             flush=True,
         )
     t_lo, t_hi = statistics.median(lo), statistics.median(hi)
@@ -154,6 +186,7 @@ def measure_ladder(lo_cores: int, hi_cores: int, runs: int) -> dict:
     return {
         "lo_cores": lo_cores, "hi_cores": hi_cores, "lo": lo, "hi": hi,
         "t_lo": t_lo, "t_hi": t_hi, "eff": eff, "cals": cals,
+        "clean": clean,
     }
 
 
@@ -168,7 +201,9 @@ def _headline(results: list[dict]) -> str:
     soft = [r for r in results if r["hi_cores"] <= 8]
     if not soft:
         return ""
-    r = max(soft, key=lambda x: x["eff"])
+    # prefer calibration-clean ladders as the headline evidence
+    clean = [r for r in soft if r.get("clean")]
+    r = max(clean or soft, key=lambda x: x["eff"])
     verdict = "MET" if r["eff"] >= 0.8 else "NOT MET"
     return (
         f"**HEADLINE: efficiency {r['eff']:.3f} on the "
@@ -183,7 +218,14 @@ def _headline(results: list[dict]) -> str:
 
 
 def _section(r: dict, n_rows: int) -> str:
-    return f"""### ladder local[{r['lo_cores']}] -> local[{r['hi_cores']}]
+    stamp = (
+        "calibration-clean: every child ran at >= 80% quiet speed"
+        if r.get("clean")
+        else "NOT calibration-clean: at least one child stayed below 80% "
+        "quiet speed after bounded retries — treat this ladder as "
+        "host-contaminated evidence"
+    )
+    return f"""### ladder local[{r['lo_cores']}] -> local[{r['hi_cores']}] ({stamp})
 
 | level | cores | timed runs (s) | median (s) | throughput (rows/s) |
 |---|---|---|---|---|
@@ -206,12 +248,15 @@ def main() -> None:
     runs = int(argv[argv.index("--runs") + 1]) if "--runs" in argv else 5
     ladders_arg = argv[argv.index("--ladders") + 1] if "--ladders" in argv else "2:8,8:32"
     ladders = [tuple(int(c) for c in l.split(":")) for l in ladders_arg.split(",")]
+    cal_frac = (
+        float(argv[argv.index("--cal-frac") + 1]) if "--cal-frac" in argv else 0.8
+    )
 
     if "--reuse-data" not in argv or not os.path.isdir(FULL):
         print(f"generating {n_rows:,}-row dataset (untimed) ...", flush=True)
         generate(n_rows)
 
-    results = [measure_ladder(lo, hi, runs) for lo, hi in ladders]
+    results = [measure_ladder(lo, hi, runs, cal_frac) for lo, hi in ladders]
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     path = os.path.join(REPO, "BENCH", "BASELINE.md")
@@ -267,6 +312,7 @@ sf0.1 is reported separately by bench.py (BENCH_r*.json).
                         "t_lo_median_s": round(r["t_lo"], 3),
                         "t_hi_median_s": round(r["t_hi"], 3),
                         "efficiency": round(r["eff"], 3),
+                        "calibration_clean": r["clean"],
                     }
                     for r in results
                 ],
