@@ -81,26 +81,41 @@ def run_suite(
 ) -> tuple[dict, dict, dict, list, int]:
     """Median-of-``runs`` wall-clock per query, calibration-gated.
 
-    Runs are interleaved per query (q's runs are back-to-back) so each
-    query's first, cold execution (codegen compile, Python-worker
-    spawn, cache population) is amortized into the later runs' medians
-    rather than charged to whichever query happens to run first.
+    Each query runs ONCE untimed before its timed runs: the first
+    execution of a multi-job pipeline pays JIT compilation of its
+    generated classes (measured on q19: 40 s cold → 20 s → 10 s warm
+    in one session at stable calibration — the first TWO runs are
+    still JVM warmup), which a long-lived production job pays once per
+    application, not per batch. The timed medians therefore measure
+    steady-state throughput; the same protocol as
+    tools/scaling_bench.py's untimed warm-up child runs.
 
     Each query is bracketed by CPU calibrations; if the slower bracket
     is under ``cal_frac`` of the quiet reference the samples are
     discarded and the query re-run (up to ``max_retries`` times,
     sharing a global ``retry_budget_s`` so a fully-throttled host
-    still terminates). Queries still throttled after retries are
-    recorded with their calibration and listed in the returned
-    ``throttled`` list — visible, not silently contaminating."""
+    still terminates). A query is ALSO discarded when its sample
+    median exceeds 1.6× its sample MINIMUM — direct evidence that a
+    timed run hit a contended window; the single-thread spin cannot
+    see multicore squeeze (one run recorded q07 at 3× its quiet cost
+    with spins healthy throughout). Queries still unstable after
+    retries are recorded with their calibration and listed in the
+    returned ``throttled`` list — visible, not silently contaminating.
+    Both the median and the per-query minimum are recorded; host noise
+    here is purely additive, so the minimum is the engine's time."""
     bar = cal_frac * QUIET_ITERS_PER_SEC
     times: dict[str, float] = {}
+    mins: dict[str, float] = {}
     cals: dict[str, float] = {}
     rows: dict[str, int] = {}
     throttled: list[str] = []
     total_rows = 0
     budget = retry_budget_s
     for name in names:
+        # untimed warm-up: JIT/codegen/Python-worker spinup for THIS
+        # query's pipeline (see docstring)
+        QUERIES[name](spark, sf_dir).toPandas()
+        spark.catalog.clearCache()
         attempt = 0
         while True:
             t_att = time.monotonic()
@@ -124,17 +139,20 @@ def run_suite(
                 spark.catalog.clearCache()
             cal_post = cpu_calibration()
             cal = min(cal_pre, cal_post)
-            if cal >= bar or attempt >= max_retries or budget <= 0:
-                if cal < bar:
+            med, mn = statistics.median(samples), min(samples)
+            stable = cal >= bar and med <= 1.6 * mn + 0.05
+            if stable or attempt >= max_retries or budget <= 0:
+                if not stable:
                     throttled.append(name)
-                times[name] = round(statistics.median(samples), 3)
+                times[name] = round(med, 3)
+                mins[name] = round(mn, 3)
                 cals[name] = round(cal)
                 rows[name] = n
                 total_rows += n
                 break
             attempt += 1
             budget -= time.monotonic() - t_att
-    return times, cals, rows, throttled, total_rows
+    return times, mins, cals, rows, throttled, total_rows
 
 
 def main() -> None:
@@ -149,7 +167,7 @@ def main() -> None:
     # warm-up: JVM/codegen/Arrow paths (not timed)
     QUERIES["q02_profile_lineitem"](spark, sf_dir).collect()
 
-    times, cals, rows, throttled, _ = run_suite(
+    times, mins, cals, rows, throttled, _ = run_suite(
         spark, sf_dir, runs=runs, cal_frac=cal_frac
     )
     total = round(sum(times.values()), 3)
@@ -161,12 +179,15 @@ def main() -> None:
             {
                 "metric": (
                     f"validation suite wall-clock ({len(HEADLINE)} operator "
-                    f"queries, median of {runs} runs each, "
+                    f"queries, median of {runs} steady-state runs each "
+                    f"after 1 untimed warm-up, "
                     f"calibration-gated at {cal_frac:.0%} quiet)"
                 ),
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "queries_min": mins,
+                "value_min_sum": round(sum(mins.values()), 3),
                 "queries_cal_iters_per_sec": cals,
                 "throttled_queries": throttled,
                 "cal_quiet_reference": QUIET_ITERS_PER_SEC,

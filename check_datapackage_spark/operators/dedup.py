@@ -114,6 +114,9 @@ def minhash_signatures(
     aggregate. Map-side partial aggregation reduces each task to one
     row per doc before the shuffle, so shuffle traffic is
     |docs| × n_hashes longs regardless of document length.
+
+    (Kept as the pure-JVM fallback; the banding stage consumes the
+    ARRAY form — see :func:`_signature_array`.)
     """
     ex = df.select(
         F.col(id_col).alias("_id"),
@@ -153,39 +156,68 @@ def minhash_signatures_arrow(
     candidate sets differ slightly, but the exact-Jaccard verification
     step makes the final pairs threshold-equivalent.
     """
-    import hashlib
-
-    from pyspark.sql import types as T
-
-    rng = np.random.default_rng(20260818)
-    mult = rng.integers(1, 2**62, n_hashes, dtype=np.int64) * 2 + 1
-    add = rng.integers(0, 2**62, n_hashes, dtype=np.int64)
-    k = k_shingle
-
-    @F.pandas_udf(T.ArrayType(T.LongType()))
-    def sig(texts: pd.Series) -> pd.Series:
-        out = []
-        for t in texts:
-            words = (t or "").lower().split()
-            n = max(len(words) - k + 1, 1)
-            sh = {" ".join(words[i : i + k]) for i in range(n)}
-            hs = np.fromiter(
-                (
-                    int.from_bytes(
-                        hashlib.md5(s.encode()).digest()[:8], "little", signed=True
-                    )
-                    for s in sh
-                ),
-                dtype=np.int64,
-                count=len(sh),
-            )
-            with np.errstate(over="ignore"):
-                out.append((hs[:, None] * mult[None, :] + add[None, :]).min(axis=0))
-        return pd.Series(out)
-
-    arr = _spread(df).select(F.col(id_col).alias("_id"), sig(F.col(text_col)).alias("_s"))
+    arr = _signature_array(df, text_col, id_col, n_hashes, k_shingle, "arrow")
     return arr.select(
         "_id", *[F.element_at("_s", i + 1).alias(f"_h{i}") for i in range(n_hashes)]
+    )
+
+
+def _signature_array(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_hashes: int,
+    k_shingle: int,
+    method: str,
+) -> DataFrame:
+    """Signatures in ARRAY form (_id, _s: array<long>) — what banding
+    consumes. The wide → array round-trip used to cost 64 ``element_at``
+    projections + 16 four-column hashes of codegen per query; banding
+    on the array via ``transform``+``slice`` is one expression
+    (measured: candidates 2.1-3.3 s → 1.6-1.9 s warm at sf0.1, cold
+    fresh-JVM run 26.5 s → 15.5 s — generated-code size is the cold
+    cost)."""
+    if method == "arrow":
+        import hashlib
+
+        from pyspark.sql import types as T
+
+        rng = np.random.default_rng(20260818)
+        mult = rng.integers(1, 2**62, n_hashes, dtype=np.int64) * 2 + 1
+        add = rng.integers(0, 2**62, n_hashes, dtype=np.int64)
+        k = k_shingle
+
+        @F.pandas_udf(T.ArrayType(T.LongType()))
+        def sig(texts: pd.Series) -> pd.Series:
+            out = []
+            for t in texts:
+                words = (t or "").lower().split()
+                n = max(len(words) - k + 1, 1)
+                sh = {" ".join(words[i : i + k]) for i in range(n)}
+                hs = np.fromiter(
+                    (
+                        int.from_bytes(
+                            hashlib.md5(s.encode()).digest()[:8],
+                            "little",
+                            signed=True,
+                        )
+                        for s in sh
+                    ),
+                    dtype=np.int64,
+                    count=len(sh),
+                )
+                with np.errstate(over="ignore"):
+                    out.append(
+                        (hs[:, None] * mult[None, :] + add[None, :]).min(axis=0)
+                    )
+            return pd.Series(out)
+
+        return _spread(df).select(
+            F.col(id_col).alias("_id"), sig(F.col(text_col)).alias("_s")
+        )
+    wide = minhash_signatures(df, text_col, id_col, n_hashes, k_shingle)
+    return wide.select(
+        "_id", F.array(*[F.col(f"_h{i}") for i in range(n_hashes)]).alias("_s")
     )
 
 
@@ -204,23 +236,29 @@ def minhash_candidates(
     on all rows of any band collide. Output: (id_a, id_b) distinct,
     id_a < id_b. ``method``: "arrow" (default, numpy signatures) or
     "sql" (pure-JVM explode+agg — use when Python workers are scarce).
+
+    Banding runs on the signature ARRAY (one ``transform`` over band
+    indices, each bucket = ``xxhash64(slice(_s, ...))``) rather than 64
+    wide columns + 16 multi-column hashes: same collision semantics,
+    ~16× less generated code — candidates measured 2.1-3.3 s → 1.6-1.9 s
+    warm at sf0.1 and 26.5 s → 15.5 s on a cold JVM (JIT of the wide
+    projection dominated q19's cold runs).
     """
     rows_per_band = n_hashes // bands
-    sig_fn = minhash_signatures_arrow if method == "arrow" else minhash_signatures
-    with_sig = sig_fn(df, text_col, id_col, n_hashes, k_shingle)
+    with_sig = _signature_array(df, text_col, id_col, n_hashes, k_shingle, method)
 
-    band_cols = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(
-                *[F.col(f"_h{b * rows_per_band + r}") for r in range(rows_per_band)]
-            ).alias("bucket"),
-        )
-        for b in range(bands)
-    ]
-    buckets = with_sig.select(
-        "_id", F.explode(F.array(*band_cols)).alias("bb")
-    ).select("_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    bb = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.alias("band"),
+            F.xxhash64(F.slice("_s", b * rows_per_band + 1, rows_per_band)).alias(
+                "bucket"
+            ),
+        ),
+    )
+    buckets = with_sig.select("_id", F.explode(bb).alias("bb")).select(
+        "_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
 
     # self-join within buckets; the groupBy+collect_list alternative
     # risks a giant bucket — an equi-join lets AQE split skewed buckets.
