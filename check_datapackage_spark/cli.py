@@ -20,13 +20,14 @@ import sys
 from .issue import DataPackageError, explain, pretty_print
 from .plans.validation import check_table
 from .session import get_spark
-from .sources.registry import load_table, read_spec, write_violations
+from .sources.registry import load_table, parse_source, read_spec, write_violations
 from .spec import (
     SEMVER_PATTERN,
     STRICT_NAME_PATTERN,
     CheckConfig,
     Exclusion,
     strict_spec_issues,
+    validate_package,
 )
 
 
@@ -227,19 +228,33 @@ def main(argv=None) -> int:
         else:
             res = check_table(df, spec, config=config, dims=dims, extra_checks=extra)
 
-        if res.spec_issues:
+        # package-level G1/G2 adjudication (resource path/data oneOf,
+        # path string-vs-array — ref check.py:616-680) on the raw
+        # descriptor; only multi-resource descriptors have the package
+        # shape (a bare resource doc is accepted as-is by read_spec)
+        pkg_issues = []
+        addr = parse_source(args.spec)
+        if os.path.isfile(addr):
+            import json as _json
+
+            with open(addr) as fh:
+                _doc = _json.load(fh)
+            if "resources" in _doc:
+                pkg_issues = validate_package(_doc)
+        all_issues = pkg_issues + list(res.spec_issues or [])
+        if all_issues:
             # pretty_print renders the [u]/[red] markup (rich when
             # available, stripped otherwise) instead of printing
             # literal tags (ADVICE r2)
             pretty_print(
-                explain(res.spec_issues, subject="datapackage.json"),
+                explain(all_issues, subject="datapackage.json"),
                 file=sys.stderr,
             )
         n = res.violations.count()
         if args.audit:
             write_violations(res.violations, args.audit)
         res.summary.orderBy("check").show(100, truncate=False)
-        if n == 0 and not res.spec_issues:
+        if n == 0 and not all_issues:
             print("All checks passed!")  # ref cli.py:84
             return 0
         print(f"{n} violation row(s) found.", file=sys.stderr)

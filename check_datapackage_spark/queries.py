@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .operators import decontam, dedup, drift, multimodal, referential, sampling, similarity, stats, text, uniqueness
+from .operators import cluster, decontam, dedup, drift, multimodal, referential, sampling, similarity, stats, text, uniqueness
 from .operators.drift import bucket_sql
 from .plans.validation import violations_plan
 from .spec import CheckConfig, Exclusion, TableSpec
@@ -2074,6 +2074,73 @@ ORDER BY jsonpath, type, "check"
 """
 
 
+# ---------------------------------------------------------------------------
+# q45 — connected-components duplicate clustering (transitive near-dup groups)
+# ---------------------------------------------------------------------------
+
+
+def q45_duplicate_clusters(spark, sf_dir):
+    """Near-dup PAIRS → transitive CLUSTERS: the step every production
+    dedup pipeline runs after the miner. Two scaled copies of each of
+    the first 8 embeddings are planted (+700000 ×1.0001, +800000
+    ×1.0002 — positive scaling preserves cosine EXACTLY, so each
+    triple is a 3-clique at cosine ≥ 0.999 and nothing else in the
+    fixture comes close); :func:`similarity.cosine_near_dups` mines the
+    pairs (the q29 exact-green path) and
+    :func:`cluster.duplicate_clusters` merges them with alternating
+    large-star/small-star (SoCC'14). Output (id, cluster_id,
+    cluster_size) = (member, min member id, 3) — integer-only, so the
+    oracle hash is immune to float formatting, and correct even if the
+    LSH miner drops one edge of a clique (any spanning tree gives the
+    same components; the DuckDB twin closes the EXACT pair set with a
+    recursive CTE)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    copies = [
+        emb.where(F.col("vec_id") < 8).select(
+            (F.col("vec_id") + off).alias("vec_id"),
+            F.transform("embedding", lambda x: x * F.lit(s)).alias("embedding"),
+            "label",
+        )
+        for off, s in ((700000, 1.0001), (800000, 1.0002))
+    ]
+    aug = emb.unionByName(copies[0]).unionByName(copies[1])
+    pairs = similarity.cosine_near_dups(aug, dim=64, threshold=0.999, n_planes=12)
+    return cluster.duplicate_clusters(pairs, "id_a", "id_b").orderBy("id")
+
+
+Q45_SQL = """
+WITH RECURSIVE aug AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 700000, list_transform(embedding, x -> x * 1.0001)
+  FROM embeddings WHERE vec_id < 8
+  UNION ALL
+  SELECT vec_id + 800000, list_transform(embedding, x -> x * 1.0002)
+  FROM embeddings WHERE vec_id < 8
+),
+n AS (SELECT vec_id, embedding,
+             sqrt(list_inner_product(embedding, embedding)) AS nrm
+      FROM aug),
+pairs AS (
+  SELECT a.vec_id AS u, b.vec_id AS v
+  FROM n a JOIN n b ON a.vec_id < b.vec_id
+  WHERE list_inner_product(a.embedding, b.embedding) / (a.nrm * b.nrm) >= 0.999
+),
+edges AS (SELECT u, v FROM pairs UNION SELECT v AS u, u AS v FROM pairs),
+reach AS (
+  SELECT u AS id, u AS r FROM edges
+  UNION
+  SELECT e.u AS id, reach.r FROM edges e JOIN reach ON e.v = reach.id
+),
+lab AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+SELECT lab.id, lab.cluster_id, s.cluster_size
+FROM lab
+JOIN (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY cluster_id) s
+  USING (cluster_id)
+ORDER BY id
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_profile_lineitem": q02_profile_lineitem,
@@ -2119,6 +2186,7 @@ QUERIES = {
     "q42_pii": q42_pii,
     "q43_stratified_mix": q43_stratified_mix,
     "q44_json_schema_combinators": q44_json_schema_combinators,
+    "q45_duplicate_clusters": q45_duplicate_clusters,
 }
 
 ORACLES = {
@@ -2163,6 +2231,7 @@ ORACLES = {
     "q42_pii": Q42_SQL,
     "q43_stratified_mix": Q43_SQL,
     "q44_json_schema_combinators": Q44_SQL,
+    "q45_duplicate_clusters": Q45_SQL,
     # q21/q32/q37: rows-only by design — approximate ANN top-k
     # (recall < 1 is intrinsic at honest params) and t-digest sketches
     # have no exact SQL twin.

@@ -695,3 +695,164 @@ def validate_spec_against(
                 )
             )
     return finalize_issues(issues)
+
+
+#: Data Package 2.0 ``path`` pattern (standard profile,
+#: ref schemas/data-package-2-0.json resources.items.properties.path):
+#: POSIX relative path (no leading ``/ . ~``, no ``/../``, no ``\``, no
+#: scheme) or an http/ftp(s) URL.
+PATH_PATTERN = (
+    r"^((?=[^./~])(?!file:)((?!/\.\./)(?!\\)(?!://).)*|(http|ftp)s?://.*)$"
+)
+
+
+def _path_issues(v: Any, rp: str) -> list:
+    """G2 — ``path`` string-vs-array adjudication (ref
+    ``_handle_S_resources_x_path`` check.py:648-680, profile oneOf
+    [string, array-of-string] with the path pattern and minItems 1):
+    route on the ACTUAL type and only emit that branch's errors; a
+    value of neither type collapses to the single synthesized message
+    (ref test_check.py:646-664 matrix)."""
+    import re
+
+    from .issue import Issue
+
+    pat = re.compile(PATH_PATTERN)
+    if isinstance(v, str):
+        if not pat.match(v):
+            return [
+                Issue(
+                    jsonpath=f"{rp}.path",
+                    type="pattern",
+                    message=f"{v!r} does not match {PATH_PATTERN!r}",
+                    instance=v,
+                )
+            ]
+        return []
+    if isinstance(v, list):
+        if not v:
+            return [
+                Issue(
+                    jsonpath=f"{rp}.path",
+                    type="minItems",
+                    message="[] should be non-empty",
+                    instance=v,
+                )
+            ]
+        out = []
+        for i, el in enumerate(v):
+            if not isinstance(el, str):
+                out.append(
+                    Issue(
+                        jsonpath=f"{rp}.path[{i}]",
+                        type="type",
+                        message=f"{el!r} is not of type 'string'",
+                        instance=el,
+                    )
+                )
+            elif not pat.match(el):
+                out.append(
+                    Issue(
+                        jsonpath=f"{rp}.path[{i}]",
+                        type="pattern",
+                        message=f"{el!r} does not match {PATH_PATTERN!r}",
+                        instance=el,
+                    )
+                )
+        return out
+    return [
+        Issue(
+            jsonpath=f"{rp}.path",
+            type="type",
+            message="The `path` property must be either a string or an array.",
+            instance=v,
+        )
+    ]
+
+
+def validate_package(doc: dict) -> list:
+    """Package-descriptor structural checks — the G1/G2 grouped-error
+    adjudications (ref ``_handle_S_resources_x`` check.py:616-645 and
+    ``_handle_S_resources_x_path`` check.py:648-680 over the standard
+    profile's resource oneOf(name+path, name+data)):
+
+    * missing ``resources`` → one ``required`` issue at ``$``;
+    * resource with NEITHER ``path`` nor ``data`` → ONE synthesized
+      ``required`` issue at ``$.resources[x]`` (never two separate
+      missing-property issues — the reference drops the children and
+      the oneOf parent, ref test_check.py:557-568);
+    * resource with BOTH → the surviving ``oneOf`` parent
+      (ref test_check.py:621-628; message wording is ours, the
+      reference passes jsonschema's parent message through);
+    * missing ``name`` → ``required`` at ``$.resources[x].name`` with
+      ``instance=MISSING`` (ref test_check.py:571-581);
+    * ``path`` adjudication per :func:`_path_issues`.
+
+    Driver-side only — a descriptor is a few KB of JSON; nothing here
+    touches the data plane. Per-resource SCHEMA rules live in
+    :func:`validate_spec` / :func:`validate_spec_against`.
+    """
+    from .issue import MISSING, Issue, finalize_issues
+
+    issues: list = []
+    resources = doc.get("resources")
+    if resources is None:
+        return finalize_issues(
+            [
+                Issue(
+                    jsonpath="$",
+                    type="required",
+                    message="'resources' is a required property",
+                    instance=MISSING,
+                )
+            ]
+        )
+    for x, r in enumerate(resources):
+        rp = f"$.resources[{x}]"
+        if not isinstance(r, dict):
+            issues.append(
+                Issue(
+                    jsonpath=rp,
+                    type="type",
+                    message=f"{r!r} is not of type 'object'",
+                    instance=r,
+                )
+            )
+            continue
+        if "name" not in r:
+            issues.append(
+                Issue(
+                    jsonpath=f"{rp}.name",
+                    type="required",
+                    message="'name' is a required property",
+                    instance=MISSING,
+                )
+            )
+        has_path, has_data = "path" in r, "data" in r
+        if not has_path and not has_data:
+            issues.append(
+                Issue(
+                    jsonpath=rp,
+                    type="required",
+                    message=(
+                        "This resource has no `path` or `data` field. "
+                        "One of them must be provided."
+                    ),
+                    instance=r,
+                )
+            )
+        elif has_path and has_data:
+            issues.append(
+                Issue(
+                    jsonpath=rp,
+                    type="oneOf",
+                    message=(
+                        "The resource must have either a `path` or a "
+                        "`data` property, not both."
+                    ),
+                    instance=r,
+                )
+            )
+        if has_path:
+            issues.extend(_path_issues(r["path"], rp))
+    return finalize_issues(issues)
