@@ -503,3 +503,56 @@ def simhash_near_dups(
     return simhash_candidates(sigs, max_hamming=max_hamming).where(
         F.col("hamming") <= max_hamming
     )
+
+
+# ---------------------------------------------------------------------------
+# cross-document shingle duplication (exact substring-level dup measure)
+# ---------------------------------------------------------------------------
+
+
+def cross_doc_shingle_dup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> DataFrame:
+    """Per-document duplicated-text fraction at word-``k``-shingle
+    granularity: for each doc, the fraction of its DISTINCT shingles
+    that also occur in at least one OTHER document. The exact
+    substring-level analog of MinHash near-dup — the signal CCNet/
+    RefinedWeb-style pipelines use to drop boilerplate-heavy pages
+    (no reference analog: check-datapackage stops at descriptor
+    checks).
+
+    Output: (doc_id, n_shingles, n_shared, shared_frac).
+
+    Plan (100 TB shape): shingles explode map-side (codegen
+    higher-order functions, already distinct per doc via ``shingles``);
+    one groupBy(shingle) computes document frequency — because the
+    per-doc explode is distinct, ``count(*)`` IS the number of distinct
+    docs containing the gram, no count_distinct needed; the join-back
+    on shingle is a shuffle join on the SAME key the aggregation just
+    used (no extra exchange on the big side) and AQE splits the
+    boilerplate hot-gram skew that a window-over-shingle plan could
+    not. Final groupBy(doc) is map-side-combinable.
+    """
+    sh = df.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), k)).alias("g")
+    )
+    freq = sh.groupBy("g").agg(F.count(F.lit(1)).alias("_ndocs"))
+    return (
+        sh.join(freq, "g")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("_ndocs") > 1).cast("long")).alias("n_shared"),
+        )
+        .select(
+            F.col(id_col),
+            "n_shingles",
+            "n_shared",
+            F.round(
+                F.col("n_shared") / F.col("n_shingles").cast("double"), 6
+            ).alias("shared_frac"),
+        )
+    )

@@ -161,3 +161,138 @@ def text_profile(
         F.avg("_q").alias("avg_quality"),
         F.sum((F.col("_lang") == "en").cast("long")).alias("n_en"),
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus vocabulary statistics (Heaps/Zipf health signals)
+# ---------------------------------------------------------------------------
+
+
+def vocab_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    by: str = "source",
+) -> DataFrame:
+    """Per-group vocabulary statistics over the normalized word stream:
+    total words, exact distinct words, hapax count (words occurring
+    exactly once) and type-token ratio — the Heaps-law health signals a
+    corpus-drift dashboard tracks (a source whose TTR collapses is
+    emitting templated spam; one whose hapax share explodes is emitting
+    OCR noise).
+
+    Output: (source, n_words, n_distinct, n_hapax, ttr).
+
+    Plan (100 TB shape): words explode map-side; the only wide shuffle
+    is groupBy(group, word) with map-side partial aggregation — the
+    canonical word-count shape, linear in corpus size, AQE-coalesced.
+    The second groupBy(group) runs over the already-aggregated
+    vocabulary (distinct words per group), orders of magnitude smaller.
+    Exact distinct via this two-level aggregate, NOT count_distinct on
+    the raw stream — same single shuffle, but hapax needs per-word
+    counts anyway.
+    """
+    w = df.select(
+        F.col(by), F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("w")
+    )
+    wc = w.groupBy(by, "w").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        wc.groupBy(by)
+        .agg(
+            F.sum("c").alias("n_words"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.sum((F.col("c") == 1).cast("long")).alias("n_hapax"),
+        )
+        .select(
+            F.col(by),
+            "n_words",
+            "n_distinct",
+            "n_hapax",
+            F.round(F.col("n_distinct") / F.col("n_words").cast("double"), 6).alias(
+                "ttr"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# hashed-feature linear quality classifier (fasttext-style, deterministic)
+# ---------------------------------------------------------------------------
+
+#: weight-table modulus: hash32(word) % _HQ_MOD - _HQ_MOD//2 ∈ [-1000, 1000]
+_HQ_MOD = 2001
+
+
+def hashed_word_weight(w: Column) -> Column:
+    """Deterministic per-word weight in [-1000, 1000]: the first 8 hex
+    digits of md5(word) as an integer, mod 2001, shifted. Stands in for
+    a learned fasttext/logistic weight table — the SHAPE (hash word →
+    weight → sum → threshold) is exactly a linear text classifier with
+    hashed features; the weights here are hash-derived so both engines
+    reproduce them bit-exactly (same idiom as q39's token histogram).
+    """
+    h32 = F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long")
+    return (h32 % _HQ_MOD) - F.lit(_HQ_MOD // 2)
+
+
+def hashed_linear_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc linear classifier score: sum of hashed word weights over
+    the normalized word stream, plus the keep decision (score > 0).
+
+    Output: (doc_id, n_words, score_sum, keep). Integer arithmetic
+    end-to-end — no FP accumulation-order hazard.
+
+    Plan: one ``aggregate`` higher-order function per row — zero
+    shuffle, zero UDF; md5/conv are JVM codegen expressions. At 100 TB
+    this fuses into any existing profile scan.
+    """
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    score = F.aggregate(
+        words,
+        F.lit(0).cast("long"),
+        lambda a, w: a + hashed_word_weight(w),
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(words).cast("long").alias("n_words"),
+        score.alias("score_sum"),
+        (score > 0).alias("keep"),
+    )
+
+
+def quality_filter_rates(
+    df: DataFrame,
+    text_col: str = "text",
+    by: str = "source",
+) -> DataFrame:
+    """Per-group keep rate of the hashed linear classifier — the
+    aggregate a pipeline monitors when a filter model is deployed
+    fleet-wide. Output: (source, n_docs, n_keep, keep_rate).
+
+    Plan: map-side scoring (see :func:`hashed_linear_scores`) then one
+    map-side-combinable groupBy — a single small shuffle."""
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    score = F.aggregate(
+        words,
+        F.lit(0).cast("long"),
+        lambda a, w: a + hashed_word_weight(w),
+    )
+    return (
+        df.select(F.col(by), (score > 0).cast("long").alias("_keep"))
+        .groupBy(by)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_keep").alias("n_keep"),
+        )
+        .select(
+            F.col(by),
+            "n_docs",
+            "n_keep",
+            F.round(F.col("n_keep") / F.col("n_docs").cast("double"), 6).alias(
+                "keep_rate"
+            ),
+        )
+    )

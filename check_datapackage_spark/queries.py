@@ -2141,6 +2141,109 @@ ORDER BY id
 """
 
 
+# ---------------------------------------------------------------------------
+# q46 — cross-document shingle duplication (exact substring-level dedup)
+# ---------------------------------------------------------------------------
+
+
+def q46_shingle_dup_fraction(spark, sf_dir):
+    """Per-doc duplicated-text fraction at 5-word-shingle granularity:
+    of each doc's distinct shingles, how many occur in at least one
+    OTHER document (:func:`dedup.cross_doc_shingle_dup`). The exact
+    counterpart of the q19 MinHash estimate — the boilerplate signal
+    CCNet-style pipelines threshold on. Only docs with any sharing are
+    emitted (the interesting tail; keeps output sparse at scale)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        dedup.cross_doc_shingle_dup(docs, k=5)
+        .where(F.col("n_shared") > 0)
+        .orderBy("doc_id")
+    )
+
+
+Q46_SQL = r"""
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+  FROM documents),
+w AS (SELECT doc_id, string_split(t, ' ') AS words FROM norm),
+idx AS (SELECT doc_id, words,
+               unnest(generate_series(1, greatest(len(words)-4, 1))) AS i
+        FROM w),
+sh AS (SELECT DISTINCT doc_id, array_to_string(words[i:i+4], ' ') AS g
+       FROM idx),
+freq AS (SELECT g, COUNT(*) AS ndocs FROM sh GROUP BY 1)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+       ROUND(SUM(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS shared_frac
+FROM sh JOIN freq USING (g)
+GROUP BY doc_id HAVING SUM(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END) > 0
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# q47 — per-source vocabulary statistics (Heaps-law health signals)
+# ---------------------------------------------------------------------------
+
+
+def q47_vocab_stats(spark, sf_dir):
+    """Exact per-source vocabulary profile (:func:`text.vocab_stats`):
+    total words, distinct words, hapax count, type-token ratio — the
+    corpus-drift dashboard a training pipeline watches per source."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.vocab_stats(docs, "text", by="source").orderBy("source")
+
+
+Q47_SQL = r"""
+WITH norm AS (
+  SELECT source, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+  FROM documents),
+w AS (SELECT source, unnest(string_split(t, ' ')) AS w FROM norm),
+wc AS (SELECT source, w, COUNT(*) AS c FROM w GROUP BY 1, 2)
+SELECT source,
+       CAST(SUM(c) AS BIGINT) AS n_words,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       ROUND(COUNT(*) / CAST(SUM(c) AS DOUBLE), 6) AS ttr
+FROM wc GROUP BY source ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# q48 — hashed-feature linear quality classifier keep rates
+# ---------------------------------------------------------------------------
+
+
+def q48_quality_filter_rates(spark, sf_dir):
+    """Per-source keep rate of a fasttext-shaped linear classifier with
+    hash-derived weights (:func:`text.quality_filter_rates`): hash each
+    word to a deterministic weight, sum per doc, keep iff positive.
+    Integer arithmetic end-to-end so both engines agree bit-exactly."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.quality_filter_rates(docs, "text", by="source").orderBy("source")
+
+
+Q48_SQL = r"""
+WITH norm AS (
+  SELECT doc_id, source,
+         trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+  FROM documents),
+w AS (SELECT doc_id, source, unnest(string_split(t, ' ')) AS w FROM norm),
+s AS (SELECT source, doc_id,
+             SUM(CAST(CAST('0x' || substr(md5(w), 1, 8) AS UBIGINT) AS BIGINT)
+                 % 2001 - 1000) AS score
+      FROM w GROUP BY 1, 2)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+       ROUND(SUM(CASE WHEN score > 0 THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS keep_rate
+FROM s GROUP BY source ORDER BY source
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_profile_lineitem": q02_profile_lineitem,
@@ -2187,6 +2290,9 @@ QUERIES = {
     "q43_stratified_mix": q43_stratified_mix,
     "q44_json_schema_combinators": q44_json_schema_combinators,
     "q45_duplicate_clusters": q45_duplicate_clusters,
+    "q46_shingle_dup_fraction": q46_shingle_dup_fraction,
+    "q47_vocab_stats": q47_vocab_stats,
+    "q48_quality_filter_rates": q48_quality_filter_rates,
 }
 
 ORACLES = {
@@ -2232,6 +2338,9 @@ ORACLES = {
     "q43_stratified_mix": Q43_SQL,
     "q44_json_schema_combinators": Q44_SQL,
     "q45_duplicate_clusters": Q45_SQL,
+    "q46_shingle_dup_fraction": Q46_SQL,
+    "q47_vocab_stats": Q47_SQL,
+    "q48_quality_filter_rates": Q48_SQL,
     # q21/q32/q37: rows-only by design — approximate ANN top-k
     # (recall < 1 is intrinsic at honest params) and t-digest sketches
     # have no exact SQL twin.

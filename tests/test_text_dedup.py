@@ -265,3 +265,94 @@ def test_train_ivf_centroids_shape_and_determinism(spark, emb):
 
     assert np.array_equal(c1, c2)
     assert np.allclose(np.linalg.norm(c1, axis=0), 1.0)
+
+
+# --- cross-doc shingle dup / vocab stats / hashed quality (round 4) --------
+
+
+def test_cross_doc_shingle_dup_planted(spark):
+    df = spark.createDataFrame(
+        [
+            # docs 1 and 2 share the verbatim run "a b c d e f"
+            (1, "a b c d e f unique one tail words here now"),
+            (2, "prefix bit a b c d e f other suffix words"),
+            (3, "completely different text with no shared runs at all ok"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup.cross_doc_shingle_dup(df, k=5).collect()
+    }
+    # "a b c d e" and "b c d e f" are the shared 5-shingles
+    assert out[1]["n_shared"] == 2 and out[2]["n_shared"] == 2
+    assert out[3]["n_shared"] == 0
+    for r in out.values():
+        assert 0.0 <= r["shared_frac"] <= 1.0
+        assert r["n_shingles"] >= r["n_shared"]
+
+
+def test_cross_doc_shingle_dup_self_dup_not_counted(spark):
+    # repeats WITHIN one doc must not count as cross-doc sharing
+    df = spark.createDataFrame(
+        [(1, "x y z w v x y z w v x y z w v"), (2, "totally other words here five")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in dedup.cross_doc_shingle_dup(df, k=5).collect()}
+    assert out[1]["n_shared"] == 0
+
+
+def test_vocab_stats_exact(spark):
+    df = spark.createDataFrame(
+        [("s1", "a a b"), ("s1", "b c"), ("s2", "z z z")],
+        ["source", "text"],
+    )
+    out = {r["source"]: r for r in text.vocab_stats(df).collect()}
+    assert out["s1"]["n_words"] == 5
+    assert out["s1"]["n_distinct"] == 3
+    assert out["s1"]["n_hapax"] == 1  # only "c"; a=2, b=2
+    assert out["s2"]["n_distinct"] == 1 and out["s2"]["n_hapax"] == 0
+    assert abs(out["s1"]["ttr"] - 0.6) < 1e-9
+
+
+def test_hashed_linear_scores_deterministic_and_integer(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "delta")],
+        ["doc_id", "text"],
+    )
+    a = {r["doc_id"]: r for r in text.hashed_linear_scores(df).collect()}
+    b = {r["doc_id"]: r for r in text.hashed_linear_scores(df).collect()}
+    assert a == b  # deterministic
+    assert a[1]["score_sum"] == a[2]["score_sum"]  # content-only
+    for r in a.values():
+        assert isinstance(r["score_sum"], int)
+        assert -1000 * r["n_words"] <= r["score_sum"] <= 1000 * r["n_words"]
+        assert r["keep"] == (r["score_sum"] > 0)
+
+
+def test_hashed_weight_matches_duckdb(spark):
+    words = ["alpha", "beta", "gamma", "", "Zebra", "123"]
+    df = spark.createDataFrame([(w,) for w in words], ["w"])
+    got = {
+        r["w"]: r["wt"]
+        for r in df.select(
+            "w", text.hashed_word_weight(F.col("w")).alias("wt")
+        ).collect()
+    }
+    want = {
+        w: duckdb.execute(
+            "SELECT CAST(CAST('0x' || substr(md5(?), 1, 8) AS UBIGINT) AS BIGINT)"
+            " % 2001 - 1000",
+            [w],
+        ).fetchone()[0]
+        for w in words
+    }
+    assert got == want
+
+
+def test_quality_filter_rates_shape(spark, docs):
+    out = text.quality_filter_rates(docs).collect()
+    assert len(out) > 0
+    for r in out:
+        assert r["n_keep"] <= r["n_docs"]
+        assert 0.0 <= r["keep_rate"] <= 1.0
