@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .operators import cluster, decontam, dedup, drift, multimodal, referential, sampling, similarity, stats, text, uniqueness
+from .operators import cluster, decontam, dedup, drift, infer, multimodal, referential, sampling, similarity, stats, text, uniqueness
 from .operators.drift import bucket_sql
 from .plans.validation import violations_plan
 from .spec import CheckConfig, Exclusion, TableSpec
@@ -2244,6 +2244,277 @@ FROM s GROUP BY source ORDER BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# q49 — syntactic type inference (the `describe` half of the workflow)
+# ---------------------------------------------------------------------------
+
+
+def q49_infer_types(spark, sf_dir):
+    """Infer Table Schema types for a string table built from orders
+    (:func:`infer.infer_field_types` — the `frictionless describe`
+    analog upstream of the reference's check-only scope). The fixture
+    plants one column per outcome: pure ints, ISO dates, ISO
+    timestamps, booleans, a mixed int/letter column and a null-bearing
+    one. One fused aggregation pass; regex (not cast) semantics so both
+    engines agree exactly."""
+    orders = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    s = orders.select(
+        k.cast("string").alias("ok"),
+        F.col("o_orderdate").cast("date").cast("string").alias("od"),
+        F.col("o_orderdate").cast("string").alias("ts"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("pri"),
+        F.when(k % 5 == 0, "true").otherwise("false").alias("flag"),
+        F.when(k % 7 == 0, F.col("o_orderstatus"))
+        .otherwise(k.cast("string"))
+        .alias("mixed"),
+        F.nullif(F.col("o_orderstatus"), F.lit("F")).alias("maybe"),
+    )
+    return infer.infer_field_types(s).orderBy("field")
+
+
+Q49_SQL = r"""
+WITH s AS (
+  SELECT CAST(o_orderkey AS VARCHAR) AS ok,
+         CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS od,
+         CAST(o_orderdate AS VARCHAR) AS ts,
+         o_orderstatus AS status,
+         o_orderpriority AS pri,
+         CASE WHEN o_orderkey % 5 = 0 THEN 'true' ELSE 'false' END AS flag,
+         CASE WHEN o_orderkey % 7 = 0 THEN o_orderstatus
+              ELSE CAST(o_orderkey AS VARCHAR) END AS mixed,
+         NULLIF(o_orderstatus, 'F') AS maybe
+  FROM orders),
+u AS (
+  SELECT 'ok' AS field, ok AS v FROM s
+  UNION ALL SELECT 'od', od FROM s
+  UNION ALL SELECT 'ts', ts FROM s
+  UNION ALL SELECT 'status', status FROM s
+  UNION ALL SELECT 'pri', pri FROM s
+  UNION ALL SELECT 'flag', flag FROM s
+  UNION ALL SELECT 'mixed', mixed FROM s
+  UNION ALL SELECT 'maybe', maybe FROM s),
+a AS (
+  SELECT field,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(COUNT(v) AS BIGINT) AS n_nonnull,
+         CAST(SUM(CASE WHEN v IS NOT NULL AND regexp_full_match(v,
+           '[+-]?[0-9]+') THEN 1 ELSE 0 END) AS BIGINT) AS n_integer,
+         CAST(SUM(CASE WHEN v IS NOT NULL AND regexp_full_match(v,
+           '[+-]?([0-9]+(\.[0-9]*)?|\.[0-9]+)([eE][+-]?[0-9]+)?')
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_number,
+         CAST(SUM(CASE WHEN v IS NOT NULL AND regexp_full_match(v,
+           '(true|false|TRUE|FALSE|True|False)') THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_boolean,
+         CAST(SUM(CASE WHEN v IS NOT NULL AND regexp_full_match(v,
+           '[0-9]{4}-[0-9]{2}-[0-9]{2}') THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_date,
+         CAST(SUM(CASE WHEN v IS NOT NULL AND regexp_full_match(v,
+           '[0-9]{4}-[0-9]{2}-[0-9]{2}[T ][0-9]{2}:[0-9]{2}:[0-9]{2}(\.[0-9]+)?')
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_datetime
+  FROM u GROUP BY field)
+SELECT field, n_rows, n_nonnull, n_integer, n_number, n_boolean, n_date,
+       n_datetime,
+       CASE WHEN n_nonnull > 0 AND n_integer  = n_nonnull THEN 'integer'
+            WHEN n_nonnull > 0 AND n_number   = n_nonnull THEN 'number'
+            WHEN n_nonnull > 0 AND n_boolean  = n_nonnull THEN 'boolean'
+            WHEN n_nonnull > 0 AND n_date     = n_nonnull THEN 'date'
+            WHEN n_nonnull > 0 AND n_datetime = n_nonnull THEN 'datetime'
+            ELSE 'string' END AS inferred_type
+FROM a ORDER BY field
+"""
+
+
+# ---------------------------------------------------------------------------
+# q50 — CSV staging + regex-guarded typed casting (sources/csv.py)
+# ---------------------------------------------------------------------------
+
+
+def q50_csv_cast_errors(spark, sf_dir):
+    """Cast-diagnostics over a CSV-shaped all-string table
+    (:func:`sources.csv.cast_error_counts` — the `frictionless
+    extract` staging step upstream of the reference's check-only
+    scope). The fixture plants, per column: missingValues tokens
+    ('', 'NA'), lexically-corrupt integers, a semantically-invalid
+    date that PASSES the lexical regex ('…-13-01', exercising the
+    try_cast residual path), mixed-case booleans with an invalid
+    token, and 'T'-separated datetimes. One fused aggregation pass."""
+    from .sources.csv import cast_error_counts
+
+    orders = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    s = orders.select(
+        F.when(k % 11 == 0, F.lit("NA")).otherwise(k.cast("string")).alias("id"),
+        F.when(k % 13 == 0, F.concat(k.cast("string"), F.lit("x")))
+        .otherwise((k % 97).cast("string"))
+        .alias("qty"),
+        F.concat(
+            (k % 1000).cast("string"), F.lit("."), (k % 10).cast("string")
+        ).alias("price"),
+        F.when(k % 5 == 0, F.lit("true"))
+        .when(k % 5 == 1, F.lit("False"))
+        .when(k % 5 == 2, F.lit("YES"))
+        .when(k % 5 == 3, F.lit("0"))
+        .otherwise(F.lit("maybe"))
+        .alias("flag"),
+        F.when(k % 17 == 0, F.lit("2024-13-01"))
+        .otherwise(F.col("o_orderdate").cast("date").cast("string"))
+        .alias("d"),
+        F.when(k % 19 == 0, F.lit("not-a-time"))
+        .when(k % 7 == 0, F.lit(""))
+        .otherwise(
+            F.replace(
+                F.col("o_orderdate").cast("string"), F.lit(" "), F.lit("T")
+            )
+        )
+        .alias("ts"),
+    )
+    spec = TableSpec.from_dict(
+        {
+            "name": "csvish",
+            "schema": {
+                "fields": [
+                    {"name": "id", "type": "integer"},
+                    {"name": "qty", "type": "integer"},
+                    {"name": "price", "type": "number"},
+                    {"name": "flag", "type": "boolean"},
+                    {"name": "d", "type": "date"},
+                    {"name": "ts", "type": "datetime"},
+                ],
+                "missingValues": ["", "NA"],
+            },
+        }
+    )
+    return cast_error_counts(s, spec).orderBy("field")
+
+
+Q50_SQL = r"""
+WITH s AS (
+  SELECT CASE WHEN o_orderkey % 11 = 0 THEN 'NA'
+              ELSE CAST(o_orderkey AS VARCHAR) END AS id,
+         CASE WHEN o_orderkey % 13 = 0
+              THEN CAST(o_orderkey AS VARCHAR) || 'x'
+              ELSE CAST(o_orderkey % 97 AS VARCHAR) END AS qty,
+         CAST(o_orderkey % 1000 AS VARCHAR) || '.' ||
+           CAST(o_orderkey % 10 AS VARCHAR) AS price,
+         CASE o_orderkey % 5 WHEN 0 THEN 'true' WHEN 1 THEN 'False'
+              WHEN 2 THEN 'YES' WHEN 3 THEN '0' ELSE 'maybe' END AS flag,
+         CASE WHEN o_orderkey % 17 = 0 THEN '2024-13-01'
+              ELSE CAST(CAST(o_orderdate AS DATE) AS VARCHAR) END AS d,
+         CASE WHEN o_orderkey % 19 = 0 THEN 'not-a-time'
+              WHEN o_orderkey % 7 = 0 THEN ''
+              ELSE REPLACE(CAST(o_orderdate AS VARCHAR), ' ', 'T') END AS ts
+  FROM orders),
+g AS (
+  SELECT 'id' AS field, CASE WHEN id IN ('','NA') THEN NULL ELSE id END AS p,
+         'integer' AS ty FROM s
+  UNION ALL SELECT 'qty',
+         CASE WHEN qty IN ('','NA') THEN NULL ELSE qty END, 'integer' FROM s
+  UNION ALL SELECT 'price',
+         CASE WHEN price IN ('','NA') THEN NULL ELSE price END, 'number' FROM s
+  UNION ALL SELECT 'flag',
+         CASE WHEN flag IN ('','NA') THEN NULL ELSE flag END, 'boolean' FROM s
+  UNION ALL SELECT 'd',
+         CASE WHEN d IN ('','NA') THEN NULL ELSE d END, 'date' FROM s
+  UNION ALL SELECT 'ts',
+         CASE WHEN ts IN ('','NA') THEN NULL ELSE ts END, 'datetime' FROM s),
+a AS (
+  SELECT field,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(COUNT(p) AS BIGINT) AS n_present,
+         CAST(SUM(CASE
+           WHEN p IS NULL THEN 0
+           WHEN ty = 'integer' THEN CASE WHEN regexp_full_match(p,
+             '[+-]?[0-9]+') AND TRY_CAST(p AS BIGINT) IS NOT NULL
+             THEN 1 ELSE 0 END
+           WHEN ty = 'number' THEN CASE WHEN regexp_full_match(p,
+             '[+-]?([0-9]+(\.[0-9]*)?|\.[0-9]+)([eE][+-]?[0-9]+)?')
+             AND TRY_CAST(p AS DOUBLE) IS NOT NULL THEN 1 ELSE 0 END
+           WHEN ty = 'boolean' THEN CASE WHEN lower(p) IN
+             ('true','1','yes','false','0','no') THEN 1 ELSE 0 END
+           WHEN ty = 'date' THEN CASE WHEN regexp_full_match(p,
+             '[0-9]{4}-[0-9]{2}-[0-9]{2}') AND TRY_CAST(p AS DATE)
+             IS NOT NULL THEN 1 ELSE 0 END
+           ELSE CASE WHEN regexp_full_match(p,
+             '[0-9]{4}-[0-9]{2}-[0-9]{2}[T ][0-9]{2}:[0-9]{2}:[0-9]{2}(\.[0-9]+)?')
+             AND TRY_CAST(REPLACE(p, 'T', ' ') AS TIMESTAMP) IS NOT NULL
+             THEN 1 ELSE 0 END
+         END) AS BIGINT) AS n_cast_ok
+  FROM g GROUP BY field)
+SELECT field, n_rows, n_present, n_cast_ok,
+       n_present - n_cast_ok AS n_cast_err
+FROM a ORDER BY field
+"""
+
+
+# ---------------------------------------------------------------------------
+# q51 — constraint suggestion profile (describe-side enum/min-max)
+# ---------------------------------------------------------------------------
+
+
+def q51_suggest_constraints(spark, sf_dir):
+    """Per-column constraint proposal (:func:`infer.profile_constraints`
+    — the describe-side analog of the reference's validation-side enum/
+    range constraints, SURVEY §2 C5/C6). Fixture plants low-cardinality
+    enum candidates (status 3, priority 5, a 7-value numeric), a
+    high-cardinality column (cust) and a numeric range column; the
+    enum gate is exact-distinct <= 16. Two bounded aggregations over
+    deduplicated (field, value) pairs — never collect_set over raw
+    rows."""
+    orders = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    s = orders.select(
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_custkey").cast("string").alias("cust"),
+        F.concat(
+            (k % 1000).cast("string"), F.lit("."), (k % 10).cast("string")
+        ).alias("amt"),
+        (k % 7).cast("string").alias("small_num"),
+    )
+    return infer.profile_constraints(s).orderBy("field")
+
+
+Q51_SQL = r"""
+WITH s AS (
+  SELECT o_orderstatus AS status, o_orderpriority AS pri,
+         CAST(o_custkey AS VARCHAR) AS cust,
+         CAST(o_orderkey % 1000 AS VARCHAR) || '.' ||
+           CAST(o_orderkey % 10 AS VARCHAR) AS amt,
+         CAST(o_orderkey % 7 AS VARCHAR) AS small_num
+  FROM orders),
+u AS (
+  SELECT 'status' AS field, status AS v FROM s WHERE status IS NOT NULL
+  UNION ALL SELECT 'pri', pri FROM s WHERE pri IS NOT NULL
+  UNION ALL SELECT 'cust', cust FROM s WHERE cust IS NOT NULL
+  UNION ALL SELECT 'amt', amt FROM s WHERE amt IS NOT NULL
+  UNION ALL SELECT 'small_num', small_num FROM s WHERE small_num IS NOT NULL),
+p AS (
+  SELECT field, v, CAST(COUNT(*) AS BIGINT) AS cnt,
+         MIN(CASE WHEN regexp_full_match(v,
+           '[+-]?([0-9]+(\.[0-9]*)?|\.[0-9]+)([eE][+-]?[0-9]+)?')
+           THEN TRY_CAST(v AS DOUBLE) END) AS mn,
+         MAX(CASE WHEN regexp_full_match(v,
+           '[+-]?([0-9]+(\.[0-9]*)?|\.[0-9]+)([eE][+-]?[0-9]+)?')
+           THEN TRY_CAST(v AS DOUBLE) END) AS mx
+  FROM u GROUP BY field, v),
+st AS (
+  SELECT field, CAST(SUM(cnt) AS BIGINT) AS n_nonnull,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct,
+         MIN(mn) AS min_num, MAX(mx) AS max_num
+  FROM p GROUP BY field),
+e AS (
+  SELECT field,
+         array_to_string(list_sort(array_agg(v)), ',') AS suggested_enum
+  FROM p
+  WHERE field IN (SELECT field FROM st WHERE n_distinct <= 16)
+  GROUP BY field)
+SELECT st.field, n_nonnull, n_distinct, min_num, max_num, suggested_enum
+FROM st LEFT JOIN e ON st.field = e.field ORDER BY st.field
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_profile_lineitem": q02_profile_lineitem,
@@ -2293,6 +2564,9 @@ QUERIES = {
     "q46_shingle_dup_fraction": q46_shingle_dup_fraction,
     "q47_vocab_stats": q47_vocab_stats,
     "q48_quality_filter_rates": q48_quality_filter_rates,
+    "q49_infer_types": q49_infer_types,
+    "q50_csv_cast_errors": q50_csv_cast_errors,
+    "q51_suggest_constraints": q51_suggest_constraints,
 }
 
 ORACLES = {
@@ -2341,6 +2615,9 @@ ORACLES = {
     "q46_shingle_dup_fraction": Q46_SQL,
     "q47_vocab_stats": Q47_SQL,
     "q48_quality_filter_rates": Q48_SQL,
+    "q49_infer_types": Q49_SQL,
+    "q50_csv_cast_errors": Q50_SQL,
+    "q51_suggest_constraints": Q51_SQL,
     # q21/q32/q37: rows-only by design — approximate ANN top-k
     # (recall < 1 is intrinsic at honest params) and t-digest sketches
     # have no exact SQL twin.

@@ -92,21 +92,27 @@ def job(path):
     nd = drift.drift_by_group(df, "n_tok", "source", 1, 2049, 32).count()
     return nv + ns + nd
 
-def spin(seconds=2.0):
-    # effective-CPU calibration: this guest's speed varies up to 7x
-    # window-to-window (host throttling, steal=0) — record it so a
-    # throttled child is visible in the ladder evidence
+def spin(seconds=0.5):
+    # effective-CPU calibration RATE (iters/s): this guest's speed
+    # varies up to 7x window-to-window (host throttling, steal=0) —
+    # record it so a throttled window is visible in the ladder evidence
     t0 = time.perf_counter(); x = 0
     while time.perf_counter() - t0 < seconds: x += 1
-    return x
+    return x / seconds
 
-cal0 = spin()
+cal0 = spin(2.0)
 job(%(warm)r)   # warm-up: small data, full plan shape
 job(%(full)r)   # untimed: Janino codegen compile + page cache for FULL plan
-out = []
+out = []; rcals = []
 for _ in range(runs):
-    t0 = time.perf_counter(); job(%(full)r); out.append(time.perf_counter() - t0)
-print("RESULT " + json.dumps({"times": out, "cal": [cal0, spin()]}))
+    # v4: bracket EVERY timed run with a short spin — a mid-child host
+    # throttle (observed: one 547 s run between 63 s neighbours) is
+    # then attributable to its window and excludable post-hoc
+    b = spin()
+    t0 = time.perf_counter(); job(%(full)r); dt = time.perf_counter() - t0
+    rcals.append([b, spin()]); out.append(dt)
+print("RESULT " + json.dumps(
+    {"times": out, "run_cals": rcals, "cal": [cal0, spin(2.0)]}))
 spark.stop()
 """
 
@@ -124,8 +130,9 @@ def generate(n_rows: int) -> None:
         raise RuntimeError(f"generation failed:\n{p.stdout}\n{p.stderr}")
 
 
-#: quiet-window reference for the 2 s calibration spin on this box.
-QUIET_CAL = 9.5e6
+#: quiet-window reference RATE (iters/s) for the calibration spin on
+#: this box (the old 2 s spin measured ~9.5M iters when quiet).
+QUIET_RATE = 4.75e6
 
 
 def run_child(cores: int, runs: int) -> dict:
@@ -151,13 +158,13 @@ def run_child_gated(
     for attempt in range(max_retries + 1):
         got = run_child(cores, runs)
         cal = min(got["cal"])
-        got["cal_ok"] = cal >= cal_frac * QUIET_CAL
+        got["cal_ok"] = cal >= cal_frac * QUIET_RATE
         if got["cal_ok"] or attempt == max_retries:
             return got
         print(
-            f"child cores={cores} ran throttled (cal {cal / 1e6:.1f}M "
-            f"< {cal_frac * QUIET_CAL / 1e6:.1f}M) — discarding, retry "
-            f"{attempt + 1}/{max_retries}",
+            f"child cores={cores} ran throttled (cal {cal / 1e6:.2f}M/s "
+            f"< {cal_frac * QUIET_RATE / 1e6:.2f}M/s) — discarding, "
+            f"retry {attempt + 1}/{max_retries}",
             flush=True,
         )
     return got
@@ -166,27 +173,57 @@ def run_child_gated(
 def measure_ladder(
     lo_cores: int, hi_cores: int, runs: int, cal_frac: float = 0.8
 ) -> dict:
-    lo: list[float] = []
-    hi: list[float] = []
-    cals: list[tuple[int, list[int]]] = []
+    # per level: (time, window_cal_rate) pairs — v4 attributes host
+    # throttle to individual runs, not whole children
+    lo: list[tuple[float, float]] = []
+    hi: list[tuple[float, float]] = []
+    cals: list[tuple[int, list[float]]] = []
     clean = True
     # A-B-B-A: slow host drift lands symmetrically on both levels
     for cores, sink in ((lo_cores, lo), (hi_cores, hi), (hi_cores, hi), (lo_cores, lo)):
         got = run_child_gated(cores, runs, cal_frac)
-        sink.extend(got["times"])
+        rcals = got.get("run_cals") or [got["cal"]] * len(got["times"])
+        sink.extend(
+            (t, min(rc)) for t, rc in zip(got["times"], rcals)
+        )
         cals.append((cores, got["cal"]))
         clean = clean and got["cal_ok"]
         print(
             f"child cores={cores}: {['%.1f' % x for x in got['times']]}"
-            f" cal={got['cal']} cal_ok={got['cal_ok']}",
+            f" run_cals={[['%.2fM' % (c / 1e6) for c in rc] for rc in rcals]}"
+            f" cal_ok={got['cal_ok']}",
             flush=True,
         )
-    t_lo, t_hi = statistics.median(lo), statistics.median(hi)
+
+    thresh = cal_frac * QUIET_RATE
+
+    def pick(pairs: list[tuple[float, float]]) -> tuple[float, list[float], int]:
+        """median over quiet-window runs; fall back to all runs when
+        fewer than 2 survive the gate (and say so via n_dropped=-1)."""
+        keep = [t for t, c in pairs if c >= thresh]
+        if len(keep) >= 2:
+            return statistics.median(keep), keep, len(pairs) - len(keep)
+        allt = [t for t, _ in pairs]
+        return statistics.median(allt), allt, -1
+
+    t_lo, lo_keep, lo_drop = pick(lo)
+    t_hi, hi_keep, hi_drop = pick(hi)
+    t_lo_raw = statistics.median([t for t, _ in lo])
+    t_hi_raw = statistics.median([t for t, _ in hi])
     eff = (t_lo / t_hi) / (hi_cores / lo_cores)
     return {
-        "lo_cores": lo_cores, "hi_cores": hi_cores, "lo": lo, "hi": hi,
-        "t_lo": t_lo, "t_hi": t_hi, "eff": eff, "cals": cals,
-        "clean": clean,
+        "lo_cores": lo_cores, "hi_cores": hi_cores,
+        "lo": [t for t, _ in lo], "hi": [t for t, _ in hi],
+        "lo_keep": lo_keep, "hi_keep": hi_keep,
+        "lo_drop": lo_drop, "hi_drop": hi_drop,
+        "lo_cals": [c for _, c in lo], "hi_cals": [c for _, c in hi],
+        "t_lo": t_lo, "t_hi": t_hi,
+        "t_lo_raw": t_lo_raw, "t_hi_raw": t_hi_raw,
+        "eff": eff,
+        "eff_raw": (t_lo_raw / t_hi_raw) / (hi_cores / lo_cores),
+        "cals": cals,
+        "clean": clean and lo_drop == 0 and hi_drop == 0,
+        "gated": lo_drop >= 0 and hi_drop >= 0,
     }
 
 
@@ -219,26 +256,40 @@ def _headline(results: list[dict]) -> str:
 
 def _section(r: dict, n_rows: int) -> str:
     stamp = (
-        "calibration-clean: every child ran at >= 80% quiet speed"
+        "calibration-clean: every timed run's window ran at >= 80% "
+        "quiet speed"
         if r.get("clean")
-        else "NOT calibration-clean: at least one child stayed below 80% "
-        "quiet speed after bounded retries — treat this ladder as "
-        "host-contaminated evidence"
+        else (
+            f"per-run gated: {max(r.get('lo_drop', 0), 0)} N-level and "
+            f"{max(r.get('hi_drop', 0), 0)} 4N-level runs fell in "
+            "host-throttled windows (run-bracketing spins < 80% quiet "
+            "rate) and are excluded from the medians; raw medians "
+            "reported alongside"
+            if r.get("gated")
+            else "NOT calibration-clean: too few quiet-window runs "
+            "survived the gate — medians fall back to ALL runs; treat "
+            "this ladder as host-contaminated evidence"
+        )
     )
+    lo_keep = r.get("lo_keep", r["lo"])
+    hi_keep = r.get("hi_keep", r["hi"])
     return f"""### ladder local[{r['lo_cores']}] -> local[{r['hi_cores']}] ({stamp})
 
-| level | cores | timed runs (s) | median (s) | throughput (rows/s) |
-|---|---|---|---|---|
-| N | {r['lo_cores']} | {', '.join(f'{x:.1f}' for x in r['lo'])} | {r['t_lo']:.2f} | {n_rows / r['t_lo']:,.0f} |
-| 4N | {r['hi_cores']} | {', '.join(f'{x:.1f}' for x in r['hi'])} | {r['t_hi']:.2f} | {n_rows / r['t_hi']:,.0f} |
+| level | cores | timed runs (s) | quiet-window runs (s) | median (s) | throughput (rows/s) |
+|---|---|---|---|---|---|
+| N | {r['lo_cores']} | {', '.join(f'{x:.1f}' for x in r['lo'])} | {', '.join(f'{x:.1f}' for x in lo_keep)} | {r['t_lo']:.2f} | {n_rows / r['t_lo']:,.0f} |
+| 4N | {r['hi_cores']} | {', '.join(f'{x:.1f}' for x in r['hi'])} | {', '.join(f'{x:.1f}' for x in hi_keep)} | {r['t_hi']:.2f} | {n_rows / r['t_hi']:,.0f} |
 
-**median speedup: {r['t_lo'] / r['t_hi']:.2f}x; scaling efficiency =
-({r['t_lo']:.2f}/{r['t_hi']:.2f})/{r['hi_cores'] // r['lo_cores']} = {r['eff']:.3f}**
-(north-rule threshold: >= 0.8 {'MET' if r['eff'] >= 0.8 else 'NOT MET'})
+**quiet-window median speedup: {r['t_lo'] / r['t_hi']:.2f}x; scaling
+efficiency = ({r['t_lo']:.2f}/{r['t_hi']:.2f})/{r['hi_cores'] // r['lo_cores']} = {r['eff']:.3f}**
+(north-rule threshold: >= 0.8 {'MET' if r['eff'] >= 0.8 else 'NOT MET'});
+raw (ungated) medians {r.get('t_lo_raw', r['t_lo']):.2f}/{r.get('t_hi_raw', r['t_hi']):.2f} s → efficiency {r.get('eff_raw', r['eff']):.3f}
 
-Per-child effective-CPU calibration (2 s spin iterations before/after;
-quiet-window reference ≈ 9.5M — a child far below that ran in a
-host-throttled window): {', '.join(f"{c}c {a/1e6:.1f}M/{b/1e6:.1f}M" for c, (a, b) in r['cals'])}
+Per-run window calibration rates (M iters/s; quiet ≈ 4.75M — a run
+bracketed by rates far below that sat in a host-throttled window):
+N = {', '.join(f'{c / 1e6:.2f}' for c in r.get('lo_cals', []))};
+4N = {', '.join(f'{c / 1e6:.2f}' for c in r.get('hi_cals', []))}.
+Per-child start/end rates: {', '.join(f"{c}c {a / 1e6:.2f}/{b / 1e6:.2f}" for c, (a, b) in r['cals'])}
 """
 
 
@@ -270,7 +321,8 @@ job, identical materialized input, two parallelism levels (N and 4N
 cores), fresh JVM per child.
 
 {_headline(results)}
-Protocol (v3): per level, one child JVM runs the job once on a small
+Protocol (v4 = v3 + per-run window gating): per level, one child JVM
+runs the job once on a small
 warm-up dataset, once UNTIMED on the full dataset (fused-plan Janino
 codegen compile is O(100 s) and a real cluster pays it once per
 application, plus page-cache fill), then {runs} timed runs; children
@@ -312,6 +364,11 @@ sf0.1 is reported separately by bench.py (BENCH_r*.json).
                         "t_lo_median_s": round(r["t_lo"], 3),
                         "t_hi_median_s": round(r["t_hi"], 3),
                         "efficiency": round(r["eff"], 3),
+                        "efficiency_raw": round(r.get("eff_raw", r["eff"]), 3),
+                        "runs_dropped": [
+                            max(r.get("lo_drop", 0), 0),
+                            max(r.get("hi_drop", 0), 0),
+                        ],
                         "calibration_clean": r["clean"],
                     }
                     for r in results
