@@ -55,6 +55,7 @@ from .plans.validation import (
 )
 
 from .extensions import CustomCheck, ExtensionError, RequiredCheck, compile_extensions
+from .package import PackageResult, check_package
 from .plans.nested import nested_violations
 from .spec import SpecTypeError
 from .examples import (
@@ -82,7 +83,9 @@ __all__ = [
     "TableSpec",
     "VIOLATION_FULL_SCHEMA",
     "VIOLATION_SCHEMA",
+    "PackageResult",
     "ValidationResult",
+    "check_package",
     "check_table",
     "compile_all_of",
     "compile_all_of_required",

@@ -124,7 +124,13 @@ def load_toml_config(path: str = ".cdp.toml") -> dict:
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="check-datapackage-spark")
     p.add_argument("--data", required=True, help="sf dir or iceberg:<catalog.db>")
-    p.add_argument("--table", required=True)
+    p.add_argument(
+        "--table",
+        default=None,
+        help="resource to validate; omit to validate EVERY resource in "
+        "the descriptor (package mode: cross-resource FK dims wired "
+        "automatically, tables loaded once)",
+    )
     p.add_argument("--spec", required=True, help="datapackage.json-shaped spec")
     p.add_argument("--resource", default=None)
     p.add_argument("--dims", nargs="*", default=[], help="dimension tables to load")
@@ -193,6 +199,46 @@ def main(argv=None) -> int:
             extensions=toml_cfg.get("extensions", ()),
             max_examples_per_check=args.max_examples,
         )
+        if args.table is None:
+            # package mode: every resource, FK dims wired automatically
+            import json as _json
+
+            from .package import check_package
+
+            with open(parse_source(args.spec)) as fh:
+                _doc = _json.load(fh)
+            pres = check_package(
+                spark,
+                _doc,
+                config=config,
+                loader=lambda s, n: load_table(s, args.data, n),
+                spec_transform=strictify if strict else None,
+            )
+            all_issues = list(pres.descriptor_issues) + [
+                i
+                for r in pres.resources.values()
+                for i in (r.spec_issues or [])
+            ]
+            if all_issues:
+                pretty_print(
+                    explain(all_issues, subject="datapackage.json"),
+                    file=sys.stderr,
+                )
+            v = pres.violations()
+            n = v.count() if v is not None else 0
+            if args.audit and v is not None:
+                write_violations(v, args.audit)
+            for rname, r in pres.resources.items():
+                print(f"== {rname}")
+                r.summary.orderBy("check").show(100, truncate=False)
+            if n == 0 and not all_issues:
+                print("All checks passed!")  # ref cli.py:84
+                return 0
+            print(f"{n} violation row(s) found.", file=sys.stderr)
+            if v is not None:
+                v.show(20, truncate=False)
+            return 1 if args.error else 0
+
         df = load_table(spark, args.data, args.table)
         extra = None
         if config.extensions:

@@ -142,6 +142,41 @@ def cast_error_counts(df: DataFrame, spec: TableSpec) -> DataFrame:
     )
 
 
+def read_csv_stream_typed(
+    spark: SparkSession,
+    path: str,
+    spec: TableSpec,
+    header: bool = True,
+    delimiter: str = ",",
+    columns: Optional[list[str]] = None,
+    max_files_per_trigger: Optional[int] = None,
+) -> DataFrame:
+    """Streaming twin of :func:`read_csv_typed`: watch a directory for
+    landing CSV files and emit typed rows continuously.
+
+    The cast staging is a stateless projection, so the stream stays
+    append-mode with NO state store; compose with
+    ``streaming.checks.streaming_violations`` for validate-as-it-lands,
+    or ``foreach_batch_validator`` when key checks are needed.
+    Streaming sources REQUIRE an explicit schema (no sniffing pass
+    exists to infer one) — the spec-driven all-string schema is exactly
+    that. ``columns`` names the physical order; defaults to the spec's
+    field order (header rows are skipped per-file via ``header``, never
+    used for naming — a stream can't peek one file to name the rest).
+    """
+    names = columns if columns is not None else [f.name for f in spec.fields]
+    schema = T.StructType([T.StructField(n, T.StringType(), True) for n in names])
+    reader = (
+        spark.readStream.schema(schema)
+        .option("header", header)
+        .option("delimiter", delimiter)
+        .option("mode", "PERMISSIVE")
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return cast_table(reader.csv(path), spec)
+
+
 def read_csv_typed(
     spark: SparkSession,
     path: str,

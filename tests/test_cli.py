@@ -160,3 +160,50 @@ def test_toml_custom_checks_rejected(tmp_path):
     f.write_text("[extensions]\ncustom_checks = [{type='x'}]\n")
     with _pytest.raises(ValueError, match="Custom checks cannot be configured"):
         load_toml_config(str(f))
+
+
+def test_cli_package_mode(tmp_path):
+    """Omitting --table validates EVERY resource (package mode), wiring
+    the nation->region FK dim automatically. region/nation are tiny
+    (5/25 rows) so this stays cheap despite the subprocess JVM."""
+    spec = {
+        "resources": [
+            {
+                "name": "region",
+                "path": "region.parquet",
+                "schema": {
+                    "fields": [{"name": "r_regionkey", "type": "integer"}],
+                    "primaryKey": "r_regionkey",
+                },
+            },
+            {
+                "name": "nation",
+                "path": "nation.parquet",
+                "schema": {
+                    "fields": [
+                        {"name": "n_nationkey", "type": "integer"},
+                        {"name": "n_regionkey", "type": "integer"},
+                    ],
+                    "primaryKey": "n_nationkey",
+                    "foreignKeys": [
+                        {
+                            "fields": "n_regionkey",
+                            "reference": {"resource": "region", "fields": "r_regionkey"},
+                        }
+                    ],
+                },
+            },
+        ]
+    }
+    spec_path = tmp_path / "datapackage.json"
+    spec_path.write_text(json.dumps(spec))
+
+    p = run_cli(
+        "--data", "/root/testdata/sf0.001",
+        "--spec", str(spec_path),
+        "--error",
+        "--cores", "2",
+    )
+    assert p.returncode == 0, p.stdout + p.stderr
+    assert "All checks passed!" in p.stdout
+    assert "== region" in p.stdout and "== nation" in p.stdout

@@ -10,6 +10,7 @@ import datetime
 from check_datapackage_spark.sources.csv import (
     cast_error_counts,
     cast_table,
+    read_csv_stream_typed,
     read_csv_typed,
 )
 from check_datapackage_spark.spec import TableSpec
@@ -91,3 +92,28 @@ def test_cast_table_passthrough_projection(spark):
     assert dict(out.dtypes) == {"id": "bigint", "other": "string"}
     # the cast is a pure projection over the source — no shuffle at all
     assert "Exchange" not in out._jdf.queryExecution().executedPlan().toString()
+
+
+def test_read_csv_stream_typed(spark, tmp_path):
+    """Streaming twin: typed rows land continuously; stateless append
+    (no state store), headers skipped per-file."""
+    d = tmp_path / "landing"
+    d.mkdir()
+    (d / "a.csv").write_text("id,price,ok,day,at\n1,1.5,true,2024-01-02,2024-01-02T03:04:05\n")
+    (d / "b.csv").write_text("id,price,ok,day,at\nNA,oops,no,2024-13-01,\n")
+    stream = read_csv_stream_typed(spark, str(d), SPEC)
+    assert stream.isStreaming
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("csv_typed")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {r["id"]: r for r in spark.sql("SELECT * FROM csv_typed").collect()}
+    assert rows[1]["price"] == 1.5 and rows[1]["ok"] is True
+    assert rows[None]["price"] is None  # 'oops' → NULL, NA id → NULL
+    assert rows[None]["ok"] is False and rows[None]["day"] is None
