@@ -116,6 +116,9 @@ def test_cli_cdp_toml_config(tmp_path):
         "resources": [
             {
                 "name": "orders",
+                # path is REQUIRED by the G1 descriptor rule (oneOf
+                # path/data) — a pathless resource exits 1 since r4
+                "path": "orders.parquet",
                 "schema": {
                     "fields": [
                         {"name": "o_orderkey", "type": "integer"},
