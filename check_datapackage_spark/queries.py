@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .operators import cluster, decontam, dedup, drift, infer, multimodal, referential, sampling, similarity, stats, text, uniqueness
+from .operators import cluster, decontam, dedup, drift, infer, multimodal, packing, referential, sampling, similarity, stats, text, uniqueness
 from .operators.drift import bucket_sql
 from .plans.validation import violations_plan
 from .spec import CheckConfig, Exclusion, TableSpec
@@ -2515,6 +2515,102 @@ FROM st LEFT JOIN e ON st.field = e.field ORDER BY st.field
 """
 
 
+def q52_pack_sequences(spark, sf_dir):
+    """Concat-and-chunk training-sequence packing (operators/packing):
+    per source, documents laid end-to-end in doc_id order and cut into
+    128-token sequences; per-sequence roll-up of docs touching it,
+    docs starting in it, and token fill. One shuffle on source +
+    partition-local window; the explode fans each doc only to the
+    sequences it spans. All-integer output — exact oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.select(
+        "doc_id", "source", packing.word_count(F.col("text")).alias("n_tok")
+    )
+    packed = packing.pack_sequences(n, seq_len=128, by="source")
+    return (
+        packing.sequence_fill(packed, seq_len=128, by="source")
+        .select("source", "seq_id", "n_docs", "n_doc_starts", "tok_fill")
+        .orderBy("source", "seq_id")
+    )
+
+
+Q52_SQL = r"""
+WITH n AS (
+  SELECT doc_id, source,
+         len(list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> x <> '')) AS n_tok
+  FROM documents),
+p AS (
+  SELECT source, doc_id, n_tok,
+         CAST(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tok AS start_tok
+  FROM n),
+t AS (SELECT source, CAST(MAX(start_tok + n_tok) AS BIGINT) AS total
+      FROM p GROUP BY source),
+e AS (
+  SELECT p.source, p.start_tok, t.total,
+         unnest(generate_series(
+           CAST(FLOOR(p.start_tok / 128.0) AS BIGINT),
+           CAST(FLOOR((p.start_tok + p.n_tok - 1) / 128.0) AS BIGINT)
+         )) AS seq_id
+  FROM p JOIN t USING (source) WHERE p.n_tok > 0)
+SELECT source, seq_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN start_tok >= seq_id * 128 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_doc_starts,
+       CAST(LEAST(MAX(total), seq_id * 128 + 128) - seq_id * 128
+            AS BIGINT) AS tok_fill
+FROM e GROUP BY source, seq_id ORDER BY source, seq_id
+"""
+
+
+def q53_token_budget_mix(spark, sf_dir):
+    """Token-budget mixture (operators/packing.token_budget_mix):
+    per-source doc selection in stable md5 order until the source's
+    TOKEN budget fills (src0 3000, src1 800, src2 dropped, rest 1500)
+    — row-count reweighting (q43) can't hit token targets when doc
+    lengths differ by source. Budget-crossing doc included, so
+    tok_kept >= budget for every surviving source. Exact: membership
+    is a pure md5 function of doc_id."""
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.select(
+        "doc_id", "source", packing.word_count(F.col("text")).alias("n_tok")
+    )
+    kept = packing.token_budget_mix(
+        n, {"src0": 3000, "src1": 800, "src2": 0}, default=1500
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_kept"),
+            F.sum("n_tok").alias("tok_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+Q53_SQL = r"""
+WITH n AS (
+  SELECT doc_id, source,
+         len(list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> x <> '')) AS n_tok,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS UBIGINT)
+           / 4294967296.0 AS uh
+  FROM documents),
+p AS (
+  SELECT source, n_tok,
+         CAST(SUM(n_tok) OVER (PARTITION BY source ORDER BY uh, doc_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tok AS tok_before,
+         CASE source WHEN 'src0' THEN 3000 WHEN 'src1' THEN 800
+                     WHEN 'src2' THEN 0 ELSE 1500 END AS budget
+  FROM n)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
+       CAST(SUM(n_tok) AS BIGINT) AS tok_kept
+FROM p WHERE tok_before < budget
+GROUP BY source ORDER BY source
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_profile_lineitem": q02_profile_lineitem,
@@ -2567,6 +2663,8 @@ QUERIES = {
     "q49_infer_types": q49_infer_types,
     "q50_csv_cast_errors": q50_csv_cast_errors,
     "q51_suggest_constraints": q51_suggest_constraints,
+    "q52_pack_sequences": q52_pack_sequences,
+    "q53_token_budget_mix": q53_token_budget_mix,
 }
 
 ORACLES = {
@@ -2618,6 +2716,8 @@ ORACLES = {
     "q49_infer_types": Q49_SQL,
     "q50_csv_cast_errors": Q50_SQL,
     "q51_suggest_constraints": Q51_SQL,
+    "q52_pack_sequences": Q52_SQL,
+    "q53_token_budget_mix": Q53_SQL,
     # q21/q32/q37: rows-only by design — approximate ANN top-k
     # (recall < 1 is intrinsic at honest params) and t-digest sketches
     # have no exact SQL twin.
