@@ -24,7 +24,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .dedup import shingles
-from .text import normalize_text
+from .text import let_col, normalize_text
 
 # ---------------------------------------------------------------------------
 # decontamination
@@ -82,15 +82,20 @@ def dup_ngram_fraction(col: Column, n: int = 3) -> Column:
     The Gopher repetition filter's core signal; codegen higher-order
     functions only, so it fuses into any single-pass profile scan.
     """
-    words = word_array(col)
-    total = F.size(words) - (n - 1)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(total, F.lit(1))),
-        lambda s: F.array_join(F.slice(words, s, n), " "),
-    )
-    return F.when(total <= 0, F.lit(0.0)).otherwise(
-        F.round(1.0 - F.size(F.array_distinct(grams)) / total.cast("double"), 6)
-    )
+    def frac(words: Column) -> Column:
+        total = F.size(words) - (n - 1)
+        grams = F.transform(
+            F.sequence(F.lit(1), F.greatest(total, F.lit(1))),
+            lambda s: F.array_join(F.slice(words, s, n), " "),
+        )
+        return F.when(total <= 0, F.lit(0.0)).otherwise(
+            F.round(
+                1.0 - F.size(F.array_distinct(grams)) / total.cast("double"), 6
+            )
+        )
+
+    # let-bound words: the per-gram lambda must not re-split the doc
+    return let_col(word_array(col), frac)
 
 
 def top_word_fraction(col: Column) -> Column:
@@ -107,28 +112,31 @@ def top_word_fraction(col: Column) -> Column:
     needed. (A posexplode → groupBy(doc, word) plan would also be
     linear but shuffles every word of the corpus; this stays map-side.)
     """
-    words = word_array(col)
-    sorted_w = F.array_sort(words)
     run = lambda a, w: F.when(  # noqa: E731 — shared by run/mx fields
         a.prev.isNotNull() & (w == a.prev), a.run + 1
     ).otherwise(F.lit(1))
-    max_cnt = F.aggregate(
-        sorted_w,
-        F.struct(
-            F.lit(None).cast("string").alias("prev"),
-            F.lit(0).alias("run"),
-            F.lit(0).alias("mx"),
-        ),
-        lambda a, w: F.struct(
-            w.alias("prev"),
-            run(a, w).alias("run"),
-            F.greatest(a.mx, run(a, w)).alias("mx"),
-        ),
-        lambda a: a.mx,
-    )
-    return F.when(F.size(words) <= 0, F.lit(0.0)).otherwise(
-        F.round(max_cnt / F.size(words).cast("double"), 6)
-    )
+
+    def frac(words: Column) -> Column:
+        max_cnt = F.aggregate(
+            F.array_sort(words),
+            F.struct(
+                F.lit(None).cast("string").alias("prev"),
+                F.lit(0).alias("run"),
+                F.lit(0).alias("mx"),
+            ),
+            lambda a, w: F.struct(
+                w.alias("prev"),
+                run(a, w).alias("run"),
+                F.greatest(a.mx, run(a, w)).alias("mx"),
+            ),
+            lambda a: a.mx,
+        )
+        return F.when(F.size(words) <= 0, F.lit(0.0)).otherwise(
+            F.round(max_cnt / F.size(words).cast("double"), 6)
+        )
+
+    # let-bound: words referenced 3x (sort + two sizes) — one split
+    return let_col(word_array(col), frac)
 
 
 def repetition_profile(

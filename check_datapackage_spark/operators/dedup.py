@@ -24,7 +24,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .text import fingerprint_md5, normalize_text
+from .text import fingerprint_md5, let_col, normalize_text
 
 
 # ---------------------------------------------------------------------------
@@ -87,13 +87,24 @@ def _spread(df: DataFrame) -> DataFrame:
 
 
 def shingles(col: Column, k: int = 5) -> Column:
-    """Word k-shingles of the normalized text → array<string> (distinct)."""
-    words = F.split(normalize_text(col), " ")
-    n = F.size(words)
-    idx = F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1)))
-    return F.array_distinct(
-        F.transform(idx, lambda s: F.array_join(F.slice(words, s, k), " "))
-    )
+    """Word k-shingles of the normalized text → array<string> (distinct).
+
+    The words array is LET-BOUND (``text.let_col``): referenced by the
+    per-position lambda, an unbound ``split(regexp_replace(...))``
+    would re-normalize the whole document once per shingle position —
+    O(doc_len x positions) instead of linear (this was q46's entire
+    overrun; fixing it here also fixes every shingle consumer:
+    minhash SQL path, decontamination, cross-doc dup)."""
+
+    def sh(words: Column) -> Column:
+        idx = F.sequence(
+            F.lit(1), F.greatest(F.size(words) - k + 1, F.lit(1))
+        )
+        return F.array_distinct(
+            F.transform(idx, lambda s: F.array_join(F.slice(words, s, k), " "))
+        )
+
+    return let_col(F.split(normalize_text(col), " "), sh)
 
 
 def minhash_signatures(

@@ -110,6 +110,25 @@ def normalize_text(col: Column) -> Column:
     return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
 
 
+def let_col(value, body) -> Column:
+    """Let-binding inside one Column expression:
+    ``transform(array(value), v -> body(v))[0]``.
+
+    Why it exists: a higher-order-function lambda re-evaluates every
+    NON-bound subexpression of its body once PER ELEMENT — e.g.
+    ``transform(seq, s -> slice(words, s, k))`` with
+    ``words = split(regexp_replace(...))`` re-normalizes and re-splits
+    the whole document for every shingle position, turning a linear
+    pass into O(doc_len x positions) (measured: q46 spent ~10x its
+    budget there). Binding ``words`` as a lambda VARIABLE makes every
+    reference a cheap slot read; the array constructor evaluates the
+    value exactly once per row. Works anywhere a Column works — no
+    intermediate projection, so no CollapseProject re-inlining hazard
+    and callers' single-expression shape is preserved.
+    """
+    return F.transform(F.array(value), body)[0]
+
+
 def fingerprint_md5(col: Column) -> Column:
     """Content fingerprint over the normalized text (md5 — portable to
     any SQL engine for oracle checks)."""
@@ -126,17 +145,19 @@ def rolling_fingerprints(col: Column, window: int = 8, step: int = 4) -> Column:
     """Rolling-window fingerprints: hash every ``window``-word shingle
     at ``step`` stride — array<long>. Basis for winnowing-style
     near-dup fingerprinting; all JVM-side higher-order functions."""
-    words = F.split(normalize_text(col), " ")
-    n = F.size(words)
-    starts = F.sequence(
-        F.lit(1),
-        F.greatest(n - window + 1, F.lit(1)),
-        F.lit(step),
-    )
-    return F.transform(
-        starts,
-        lambda s: F.xxhash64(F.array_join(F.slice(words, s, window), " ")),
-    )
+    def fps(words: Column) -> Column:
+        starts = F.sequence(
+            F.lit(1),
+            F.greatest(F.size(words) - window + 1, F.lit(1)),
+            F.lit(step),
+        )
+        return F.transform(
+            starts,
+            lambda s: F.xxhash64(F.array_join(F.slice(words, s, window), " ")),
+        )
+
+    # let-bound: the per-position lambda must not re-split the doc
+    return let_col(F.split(normalize_text(col), " "), fps)
 
 
 def text_profile(
@@ -249,17 +270,29 @@ def hashed_linear_scores(
     shuffle, zero UDF; md5/conv are JVM codegen expressions. At 100 TB
     this fuses into any existing profile scan.
     """
-    words = F.split(normalize_text(F.col(text_col)), " ")
-    score = F.aggregate(
-        words,
-        F.lit(0).cast("long"),
-        lambda a, w: a + hashed_word_weight(w),
-    )
-    return df.select(
-        F.col(id_col),
-        F.size(words).cast("long").alias("n_words"),
-        score.alias("score_sum"),
-        (score > 0).alias("keep"),
+    # stage the words array and the O(words) score through named
+    # projections — each is referenced more than once downstream, and
+    # CollapseProject keeps multi-referenced non-cheap aliases staged
+    return (
+        df.select(
+            F.col(id_col),
+            F.split(normalize_text(F.col(text_col)), " ").alias("_w"),
+        )
+        .select(
+            id_col,
+            F.size("_w").cast("long").alias("n_words"),
+            F.aggregate(
+                F.col("_w"),
+                F.lit(0).cast("long"),
+                lambda a, w: a + hashed_word_weight(w),
+            ).alias("score_sum"),
+        )
+        .select(
+            id_col,
+            "n_words",
+            "score_sum",
+            (F.col("score_sum") > 0).alias("keep"),
+        )
     )
 
 
