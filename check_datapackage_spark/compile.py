@@ -285,11 +285,15 @@ def _unique_items_pred(arr_v: Column) -> Column:
     Duplicate JSON nulls canonicalize to SQL NULL on both sides of the
     concat, which ``array_distinct`` also collapses, so ``[null,null]``
     is correctly non-unique."""
+    from .operators.text import let_col
+
     canon = F.transform(
         arr_v,
         lambda x: F.concat(F.schema_of_variant(x), F.lit("|"), x.cast("string")),
     )
-    return F.size(canon) == F.size(F.array_distinct(canon))
+    # let-bound: canon is referenced twice; unbound it would
+    # re-canonicalize the whole array per reference
+    return let_col(canon, lambda c: F.size(c) == F.size(F.array_distinct(c)))
 
 
 #: Draft-7 annotation keywords — no validation semantics, always allowed
@@ -906,20 +910,28 @@ def compile_json_schema_checks(
 
     items_required = (js.get("items") or {}).get("required", [])
     if items_required:
+        from .operators.text import let_col
+
         if actual_type == "array":
             arr: Column = col
-            parsed_ok = col.isNotNull()
         else:
             struct_fields = ",".join(f"{p}:string" for p in items_required)
             arr = F.from_json(col, f"array<struct<{struct_fields}>>")
-            parsed_ok = arr.isNotNull()  # PERMISSIVE: malformed → null
+            # PERMISSIVE: malformed → null (isNotNull gate below)
         for prop in items_required:
+
+            def ok_pred(a: Column, _p: str = prop) -> Column:
+                # let-bound: null-gate + forall share one parse of
+                # ``arr`` (from_json would otherwise run twice per row)
+                return a.isNotNull() & F.forall(
+                    a, lambda x: x[_p].isNotNull()
+                )
+
             add(
                 f"items.required.{prop}",
                 "required",
                 f"{prop} is a required property of every item",
-                col.isNull()
-                | (parsed_ok & F.forall(arr, lambda x: x[prop].isNotNull())),
+                col.isNull() | let_col(arr, ok_pred),
             )
     return checks
 
