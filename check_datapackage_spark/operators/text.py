@@ -329,3 +329,56 @@ def quality_filter_rates(
             ),
         )
     )
+
+
+def bigram_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    by: str = "source",
+) -> DataFrame:
+    """Per-group adjacent-word-pair statistics — the counting step of
+    the FIRST BPE merge (the most frequent adjacent pair IS the merge
+    a tokenizer-fitting pass would perform), plus the pair-vocabulary
+    health counters that track it.
+
+    Output: (source, top_bigram, top_cnt, n_bigrams, n_distinct_bigrams).
+
+    Plan (100 TB shape): bigrams are built from a LET-BOUND words array
+    (one split per row — see :func:`let_col`) and explode map-side;
+    the wide shuffle is groupBy(group, pair) with map-side partial
+    aggregation — hot pairs collapse before the wire, same cost class
+    as :func:`vocab_stats`. The top-pair pick is a window over the
+    already-aggregated per-group pair counts (orders of magnitude
+    smaller), ordered (cnt DESC, pair DESC) so ties break
+    deterministically — cross-engine reproducible.
+    """
+    from pyspark.sql import Window
+
+    def pairs(words: Column) -> Column:
+        return F.when(F.size(words) < 2, F.array().cast("array<string>")).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(words) - 1, F.lit(1))),
+                lambda s: F.array_join(F.slice(words, s, 2), " "),
+            )
+        )
+
+    p = df.select(
+        F.col(by),
+        F.explode(
+            let_col(F.split(normalize_text(F.col(text_col)), " "), pairs)
+        ).alias("pair"),
+    )
+    pc = p.groupBy(by, "pair").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy(by).orderBy(
+        F.col("cnt").desc(), F.col("pair").desc()
+    )
+    return (
+        pc.withColumn("_rn", F.row_number().over(w))
+        .groupBy(by)
+        .agg(
+            F.max(F.when(F.col("_rn") == 1, F.col("pair"))).alias("top_bigram"),
+            F.max(F.when(F.col("_rn") == 1, F.col("cnt"))).alias("top_cnt"),
+            F.sum("cnt").alias("n_bigrams"),
+            F.count(F.lit(1)).alias("n_distinct_bigrams"),
+        )
+    )

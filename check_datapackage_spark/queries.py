@@ -2611,6 +2611,50 @@ GROUP BY source ORDER BY source
 """
 
 
+def q54_bigram_merge(spark, sf_dir):
+    """First-BPE-merge counting (:func:`text.bigram_stats`): per
+    source, the most frequent adjacent word pair (ties broken
+    cnt DESC, pair DESC — deterministic cross-engine) plus pair-stream
+    totals. The wide shuffle is groupBy(source, pair) with map-side
+    combine; the top-pair window runs over the aggregated pair counts
+    only. Words are let-bound (one split per row)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        text.bigram_stats(docs, "text", by="source")
+        .select(
+            "source", "top_bigram", "top_cnt", "n_bigrams",
+            "n_distinct_bigrams",
+        )
+        .orderBy("source")
+    )
+
+
+Q54_SQL = r"""
+WITH norm AS (
+  SELECT source,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                      ' ') AS ws
+  FROM documents),
+p AS (
+  SELECT source,
+         unnest(list_transform(generate_series(1, len(ws) - 1),
+                               i -> ws[i] || ' ' || ws[i + 1])) AS pair
+  FROM norm WHERE len(ws) >= 2),
+pc AS (SELECT source, pair, COUNT(*) AS cnt FROM p GROUP BY 1, 2),
+r AS (
+  SELECT source, pair, cnt,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY cnt DESC, pair DESC) AS rn
+  FROM pc)
+SELECT source,
+       MAX(CASE WHEN rn = 1 THEN pair END) AS top_bigram,
+       CAST(MAX(CASE WHEN rn = 1 THEN cnt END) AS BIGINT) AS top_cnt,
+       CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_bigrams
+FROM r GROUP BY source ORDER BY source
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_profile_lineitem": q02_profile_lineitem,
@@ -2665,6 +2709,7 @@ QUERIES = {
     "q51_suggest_constraints": q51_suggest_constraints,
     "q52_pack_sequences": q52_pack_sequences,
     "q53_token_budget_mix": q53_token_budget_mix,
+    "q54_bigram_merge": q54_bigram_merge,
 }
 
 ORACLES = {
@@ -2718,6 +2763,7 @@ ORACLES = {
     "q51_suggest_constraints": Q51_SQL,
     "q52_pack_sequences": Q52_SQL,
     "q53_token_budget_mix": Q53_SQL,
+    "q54_bigram_merge": Q54_SQL,
     # q21/q32/q37: rows-only by design — approximate ANN top-k
     # (recall < 1 is intrinsic at honest params) and t-digest sketches
     # have no exact SQL twin.

@@ -356,3 +356,23 @@ def test_quality_filter_rates_shape(spark, docs):
     for r in out:
         assert r["n_keep"] <= r["n_docs"]
         assert 0.0 <= r["keep_rate"] <= 1.0
+
+
+def test_bigram_stats_hand(spark):
+    """bigram_stats: hand-computed pair counts + deterministic
+    tie-break (cnt DESC, pair DESC)."""
+    from check_datapackage_spark.operators.text import bigram_stats
+
+    rows = [
+        ("A", "a b a b a"),   # pairs: a b, b a, a b, b a
+        ("A", "x"),           # single word → no pairs
+        ("B", "q q  q"),      # normalize squashes: q q, q q
+        ("B", ""),            # empty → no pairs
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+    out = {r["source"]: r for r in bigram_stats(df, "text", "source").collect()}
+    # A: 'a b' x2, 'b a' x2 → tie broken by pair DESC → 'b a'
+    assert out["A"]["top_bigram"] == "b a" and out["A"]["top_cnt"] == 2
+    assert out["A"]["n_bigrams"] == 4 and out["A"]["n_distinct_bigrams"] == 2
+    assert out["B"]["top_bigram"] == "q q" and out["B"]["top_cnt"] == 2
+    assert out["B"]["n_bigrams"] == 2 and out["B"]["n_distinct_bigrams"] == 1
