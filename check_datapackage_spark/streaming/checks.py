@@ -176,3 +176,64 @@ def streaming_dedup(
     if within_watermark:
         return wm.dropDuplicatesWithinWatermark(list(keys))
     return wm.dropDuplicates([*keys, ts_col])
+
+
+def streaming_pack_offsets(
+    stream: DataFrame,
+    n_tok_col: str = "n_tok",
+    id_col: str = "doc_id",
+    seq_len: int = 2048,
+    by: str = "source",
+) -> DataFrame:
+    """Streaming continuation of concat-and-chunk packing
+    (``operators.packing.pack_sequences``): documents are laid
+    end-to-end PER GROUP in arrival order, token offsets continuing
+    across micro-batches, and each doc is emitted once with the
+    training-sequence ids it spans.
+
+    State per group = ONE long (the group's running token total) —
+    bounded regardless of stream length, the only shape that survives
+    an unbounded corpus feed; Spark shuffles each micro-batch by the
+    group key so a group's arrivals always meet their offset on one
+    task. Arrival order inside a micro-batch follows the batch frame;
+    cross-batch order is the trigger order — the deterministic-replay
+    contract is per (checkpoint, trigger sequence), matching how
+    streaming tokenized shards are actually written. Zero-token docs
+    emit NULL first/last_seq (they occupy no tokens), same as batch.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs, state: GroupState):
+        total = state.get[0] if state.exists else 0
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        n = batch[n_tok_col].astype("int64")
+        ends = n.cumsum() + total
+        starts = ends - n
+        nonzero = n > 0
+        first = (starts // seq_len).where(nonzero).astype("Int64")
+        last = ((ends - 1) // seq_len).where(nonzero).astype("Int64")
+        if len(ends):
+            total = int(ends.iloc[-1])
+        state.update((total,))
+        yield pd.DataFrame(
+            {
+                by: key[0],
+                id_col: batch[id_col],
+                n_tok_col: n,
+                "start_tok": starts,
+                "first_seq": first,
+                "last_seq": last,
+            }
+        )
+
+    return stream.groupBy(by).applyInPandasWithState(
+        fn,
+        outputStructType=(
+            f"{by} string, {id_col} long, {n_tok_col} long, "
+            "start_tok long, first_seq long, last_seq long"
+        ),
+        stateStructType="tok_total long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

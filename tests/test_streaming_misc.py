@@ -229,3 +229,69 @@ def test_streaming_dedup_drops_duplicate_keys(spark, tmp_path):
     ids = [r["doc_id"] for r in got]
     assert sorted(ids) == sorted(set(ids)), "duplicates survived"
     assert set(ids) == set(range(50))
+
+
+def test_streaming_pack_offsets_continues_across_batches(spark, tmp_path):
+    """streaming_pack_offsets: offsets continue across micro-batches
+    (state = one long per group) and match a hand-computed concat-and-
+    chunk layout in arrival order; zero-token docs emit NULL spans."""
+    import pandas as pd
+
+    from check_datapackage_spark.streaming.checks import streaming_pack_offsets
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    schema = "doc_id long, source string, n_tok int"
+    pa_schema = pa.schema(
+        [("doc_id", pa.int64()), ("source", pa.string()), ("n_tok", pa.int32())]
+    )
+
+    def land(name, rows):
+        cols = list(zip(*rows))
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(cols[0], pa.int64()),
+                    "source": pa.array(cols[1], pa.string()),
+                    "n_tok": pa.array(cols[2], pa.int32()),
+                },
+                schema=pa_schema,
+            ),
+            str(src / name),
+        )
+
+    # trigger 1: A gets 5 then 3 tokens; B gets 2
+    land("f1.parquet", [(1, "A", 5), (2, "A", 3), (10, "B", 2)])
+
+    stream = (
+        spark.readStream.schema(
+            spark.createDataFrame([], schema).schema
+        ).option("maxFilesPerTrigger", "1").parquet(str(src))
+    )
+    out = streaming_pack_offsets(stream, seq_len=4, by="source")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("pack")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # trigger 2: A continues at offset 8; zero-token doc in B
+        land("f2.parquet", [(3, "A", 4), (11, "B", 0)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = {
+        r["doc_id"]: r for r in spark.sql("SELECT * FROM pack").collect()
+    }
+    assert (rows[1]["start_tok"], rows[1]["first_seq"], rows[1]["last_seq"]) == (0, 0, 1)
+    assert (rows[2]["start_tok"], rows[2]["first_seq"], rows[2]["last_seq"]) == (5, 1, 1)
+    # batch 2 continues A's stream at 8 — state carried the total
+    assert (rows[3]["start_tok"], rows[3]["first_seq"], rows[3]["last_seq"]) == (8, 2, 2)
+    assert (rows[10]["start_tok"], rows[10]["first_seq"]) == (0, 0)
+    assert rows[11]["first_seq"] is None and rows[11]["last_seq"] is None
