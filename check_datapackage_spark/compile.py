@@ -918,20 +918,25 @@ def compile_json_schema_checks(
             struct_fields = ",".join(f"{p}:string" for p in items_required)
             arr = F.from_json(col, f"array<struct<{struct_fields}>>")
             # PERMISSIVE: malformed → null (isNotNull gate below)
-        for prop in items_required:
-
-            def ok_pred(a: Column, _p: str = prop) -> Column:
-                # let-bound: null-gate + forall share one parse of
-                # ``arr`` (from_json would otherwise run twice per row)
+        def make_ok_pred(prop: str):
+            # single-arg lambda (PySpark binds a 2-arg callable as
+            # (element, index) — a defaulted second param would receive
+            # the INDEX lambda variable); let-bound so the null-gate +
+            # forall share one parse of ``arr`` (from_json would
+            # otherwise run twice per row)
+            def ok_pred(a: Column) -> Column:
                 return a.isNotNull() & F.forall(
-                    a, lambda x: x[_p].isNotNull()
+                    a, lambda x: x[prop].isNotNull()
                 )
 
+            return ok_pred
+
+        for prop in items_required:
             add(
                 f"items.required.{prop}",
                 "required",
                 f"{prop} is a required property of every item",
-                col.isNull() | let_col(arr, ok_pred),
+                col.isNull() | let_col(arr, make_ok_pred(prop)),
             )
     return checks
 
