@@ -488,3 +488,117 @@ def exact_cosine_pairs(
             ).alias("score"),
         )
     )
+
+
+def md5_planes(dim: int, n_planes: int, n_tables: int):
+    """Integer hyperplane weights derived from md5 — the ONLY random
+    source any SQL engine can replay exactly: weight(d, j) =
+    int(md5(f"{d}_{j}")[:8 hex], 16) - 2^31, centered int64 in
+    [-2^31, 2^31). Returned as a (dim, n_tables*n_planes) numpy int64
+    matrix for the Arrow sketch."""
+    import hashlib
+
+    import numpy as np
+
+    cols = n_tables * n_planes
+    w = np.empty((dim, cols), dtype=np.int64)
+    for d in range(dim):
+        for j in range(cols):
+            h = hashlib.md5(f"{d}_{j}".encode()).hexdigest()[:8]
+            w[d, j] = int(h, 16) - (1 << 31)
+    return w
+
+
+def quantize(vec: Column, scale: int = 1000) -> Column:
+    """int64-quantized coordinates (round(x*scale)) — the q36 trick
+    that removes float accumulation-order hazards cross-engine."""
+    return F.transform(
+        vec, lambda x: F.round(x.cast("double") * scale).cast("long")
+    )
+
+
+def lsh_topk_exact(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    n_tables: int = 8,
+    scale: int = 1000,
+) -> DataFrame:
+    """LSH approximate top-k whose ENTIRE pipeline is integer-exact and
+    SQL-replayable — the oracle-checkable twin of :func:`lsh_topk`.
+
+    Three determinism moves over the production path: (1) hyperplanes
+    come from :func:`md5_planes` instead of a Philox generator, so any
+    engine with md5 derives the identical planes; (2) sign tests run on
+    int64-QUANTIZED coordinates (round(x*scale)) with integer plane
+    weights — the dot product is exact integer arithmetic, immune to
+    float accumulation order (numpy matmul reduces pairwise, SQL SUM
+    sequentially — doubles would disagree near zero and flip buckets);
+    (3) the candidate score is the q36 quantized cosine (one
+    deterministic double div+sqrt+round at the end). |dot| ≤
+    dim·(scale·max|x|)·2^31 ≈ 2^47 for unit-ish embeddings — no
+    overflow headroom issues.
+
+    Scale shape = lsh_topk: corpus sketched map-side (one Arrow matmul
+    per batch), queries broadcast, candidates form only inside shared
+    buckets — the corpus is never shuffled.
+    """
+    import numpy as np
+    from pyspark.sql import types as T
+
+    w = md5_planes(dim, n_planes, n_tables)
+    pow2 = (1 << np.arange(n_planes)).astype(np.int64)
+    offsets = np.arange(n_tables).astype(np.int64) * (1 << n_planes)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def buckets(qvecs: pd.Series) -> pd.Series:
+        m = np.vstack([np.asarray(v, dtype=np.int64) for v in qvecs])
+        signs = (m @ w) > 0  # exact: int64 matmul
+        b = signs.reshape(len(m), n_tables, n_planes) @ pow2 + offsets
+        return pd.Series(list(b))
+
+    def sketch(df, idname, qname):
+        qd = df.select(
+            F.col(id_col).alias(idname),
+            quantize(F.col(vec_col), scale).alias(qname),
+        )
+        return qd.select(
+            idname, qname, F.explode(buckets(F.col(qname))).alias("bucket")
+        )
+
+    cu = sketch(corpus, id_col, "_qc")
+    qu = F.broadcast(sketch(queries, "query_id", "_qq"))
+    nrm = lambda c: F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x * x), F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    qdot = F.aggregate(
+        F.zip_with("_qc", "_qq", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda a, v: a + v,
+    )
+    cands = (
+        cu.join(qu, "bucket")
+        .where(F.col("query_id") != F.col(id_col))
+        .dropDuplicates(["query_id", id_col])
+        .select(
+            "query_id",
+            id_col,
+            F.round(
+                qdot
+                / F.sqrt(
+                    nrm(F.col("_qc")).cast("double")
+                    * nrm(F.col("_qq")).cast("double")
+                ),
+                4,
+            ).alias("score"),
+        )
+    )
+    rw = W.partitionBy("query_id").orderBy(F.desc("score"), F.col(id_col))
+    return (
+        cands.withColumn("rank", F.row_number().over(rw))
+        .where(F.col("rank") <= k)
+    )

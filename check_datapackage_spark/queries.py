@@ -2655,6 +2655,94 @@ FROM r GROUP BY source ORDER BY source
 """
 
 
+def q55_lsh_ann_exact(spark, sf_dir):
+    """LSH ANN with a fully SQL-replayable pipeline
+    (:func:`similarity.lsh_topk_exact`): md5-derived integer
+    hyperplanes + int64-quantized sign tests make bucket membership
+    EXACT cross-engine — the graduation of the q21 shape from
+    rows-only to hash-checked (q21 keeps the Philox production
+    sketch). Same scale shape: corpus sketched map-side, queries
+    broadcast, candidates only inside shared buckets."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x.cast("double") + 0.001).cast("float")
+        ).alias("embedding"),
+    )
+    out = similarity.lsh_topk_exact(
+        emb, queries, dim=64, k=5, n_planes=8, n_tables=8
+    )
+    return out.select("query_id", "vec_id", "score", "rank").orderBy(
+        "query_id", "rank"
+    )
+
+
+Q55_SQL = """
+WITH corpus AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+  FROM embeddings),
+qry AS (
+  SELECT vec_id + 100000 AS query_id,
+         list_transform(embedding,
+           x -> CAST(ROUND(CAST(CAST(CAST(x AS DOUBLE) + 0.001 AS FLOAT)
+                            AS DOUBLE) * 1000) AS BIGINT)) AS q
+  FROM embeddings WHERE vec_id < 5),
+w AS (
+  SELECT d.d AS d, j.j AS j,
+         CAST(CAST('0x' || substr(md5(d.d || '_' || j.j), 1, 8) AS UBIGINT)
+              AS BIGINT) - 2147483648 AS wt
+  FROM generate_series(0, 63) d(d), generate_series(0, 63) j(j)),
+cex AS (
+  SELECT vec_id, unnest(generate_series(1, len(q))) AS i, unnest(q) AS qv
+  FROM corpus),
+qex AS (
+  SELECT query_id, unnest(generate_series(1, len(q))) AS i, unnest(q) AS qv
+  FROM qry),
+cdot AS (
+  SELECT c.vec_id, w.j, SUM(c.qv * w.wt) AS dot
+  FROM cex c JOIN w ON w.d = c.i - 1 GROUP BY 1, 2),
+qdotp AS (
+  SELECT c.query_id, w.j, SUM(c.qv * w.wt) AS dot
+  FROM qex c JOIN w ON w.d = c.i - 1 GROUP BY 1, 2),
+cbuck AS (
+  SELECT vec_id,
+         CAST(SUM(CASE WHEN dot > 0 THEN 1 << (j % 8) ELSE 0 END)
+              + (j // 8) * 256 AS BIGINT) AS bucket
+  FROM cdot GROUP BY vec_id, j // 8),
+qbuck AS (
+  SELECT query_id,
+         CAST(SUM(CASE WHEN dot > 0 THEN 1 << (j % 8) ELSE 0 END)
+              + (j // 8) * 256 AS BIGINT) AS bucket
+  FROM qdotp GROUP BY query_id, j // 8),
+cand AS (
+  SELECT DISTINCT qb.query_id, cb.vec_id
+  FROM cbuck cb JOIN qbuck qb ON cb.bucket = qb.bucket
+  WHERE qb.query_id <> cb.vec_id),
+scored AS (
+  SELECT c.query_id, c.vec_id,
+         ROUND(CAST(list_sum(list_transform(list_zip(co.q, qq.q),
+                 p -> p[1] * p[2])) AS DOUBLE)
+               / SQRT(CAST(list_sum(list_transform(co.q, x -> x * x))
+                           AS DOUBLE)
+                      * CAST(list_sum(list_transform(qq.q, x -> x * x))
+                             AS DOUBLE)), 4) AS score
+  FROM cand c
+  JOIN corpus co ON co.vec_id = c.vec_id
+  JOIN qry qq ON qq.query_id = c.query_id),
+r AS (
+  SELECT query_id, vec_id, score,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, vec_id)
+              AS INTEGER) AS rank
+  FROM scored)
+SELECT query_id, vec_id, score, rank FROM r WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_profile_lineitem": q02_profile_lineitem,
@@ -2710,6 +2798,7 @@ QUERIES = {
     "q52_pack_sequences": q52_pack_sequences,
     "q53_token_budget_mix": q53_token_budget_mix,
     "q54_bigram_merge": q54_bigram_merge,
+    "q55_lsh_ann_exact": q55_lsh_ann_exact,
 }
 
 ORACLES = {
@@ -2764,6 +2853,7 @@ ORACLES = {
     "q52_pack_sequences": Q52_SQL,
     "q53_token_budget_mix": Q53_SQL,
     "q54_bigram_merge": Q54_SQL,
+    "q55_lsh_ann_exact": Q55_SQL,
     # q21/q32/q37: rows-only by design — approximate ANN top-k
     # (recall < 1 is intrinsic at honest params) and t-digest sketches
     # have no exact SQL twin.

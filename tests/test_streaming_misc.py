@@ -295,3 +295,23 @@ def test_streaming_pack_offsets_continues_across_batches(spark, tmp_path):
     assert (rows[3]["start_tok"], rows[3]["first_seq"], rows[3]["last_seq"]) == (8, 2, 2)
     assert (rows[10]["start_tok"], rows[10]["first_seq"]) == (0, 0)
     assert rows[11]["first_seq"] is None and rows[11]["last_seq"] is None
+
+
+def test_lsh_topk_exact_finds_planted_twin(spark, sf_dir):
+    """lsh_topk_exact: a +0.001-shifted copy of each query vector is
+    near-identical (cosine ~1), so every query finds its source at
+    rank 1 through the md5-plane buckets."""
+    from pyspark.sql import functions as F
+
+    from check_datapackage_spark.operators.similarity import lsh_topk_exact
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x.cast("double") + 0.001).cast("float")
+        ).alias("embedding"),
+    )
+    out = lsh_topk_exact(emb, queries, dim=64, k=5).collect()
+    top1 = {r["query_id"]: r["vec_id"] for r in out if r["rank"] == 1}
+    assert top1 == {100000 + i: i for i in range(5)}
