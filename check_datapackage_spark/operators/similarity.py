@@ -602,3 +602,106 @@ def lsh_topk_exact(
         cands.withColumn("rank", F.row_number().over(rw))
         .where(F.col("rank") <= k)
     )
+
+
+def md5_centroids(n_cells: int, dim: int, spread: int = 1000):
+    """Integer coarse-quantizer centroids from md5 (SQL-replayable, see
+    :func:`md5_planes`): c(cell, d) = md5int32(f"c{cell}_{d}") % (2*spread)
+    - spread — centered on the quantized-embedding range."""
+    import hashlib
+
+    import numpy as np
+
+    c = np.empty((n_cells, dim), dtype=np.int64)
+    for cell in range(n_cells):
+        for d in range(dim):
+            h = hashlib.md5(f"c{cell}_{d}".encode()).hexdigest()[:8]
+            c[cell, d] = int(h, 16) % (2 * spread) - spread
+    return c
+
+
+def ivf_topk_exact(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    n_probe: int = 4,
+    scale: int = 1000,
+) -> DataFrame:
+    """IVF ANN whose entire pipeline is integer-exact and
+    SQL-replayable — the oracle-checkable twin of :func:`ivf_topk`
+    (which keeps the TRAINED sampled-Lloyd coarse quantizer for real
+    recall; Lloyd itself is not practically SQL-replayable).
+
+    Cell assignment = argmin over integer squared distances between
+    int64-quantized coordinates and :func:`md5_centroids` (ties →
+    lowest cell id, matching SQL ``ORDER BY dist, cell``); queries
+    probe their ``n_probe`` nearest cells. All arithmetic up to the
+    final reported score is int64 — no float-boundary cell flips.
+
+    Scale shape = ivf_topk: assignment is one Arrow matmul map-side,
+    cells are the (AQE-skew-splittable) join keys, queries broadcast;
+    a corpus row lives in exactly ONE cell so candidate pairs are
+    already distinct.
+    """
+    import numpy as np
+    from pyspark.sql import types as T
+
+    C = md5_centroids(n_cells, dim, spread=scale)
+    c_sq = (C * C).sum(axis=1)
+
+    def _d2(m):
+        return (m * m).sum(axis=1)[:, None] - 2 * (m @ C.T) + c_sq[None, :]
+
+    @F.pandas_udf(T.LongType())
+    def assign(vecs: pd.Series) -> pd.Series:
+        m = np.vstack([np.asarray(v, dtype=np.int64) for v in vecs])
+        return pd.Series(np.argmin(_d2(m), axis=1).astype(np.int64))
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def probe(vecs: pd.Series) -> pd.Series:
+        m = np.vstack([np.asarray(v, dtype=np.int64) for v in vecs])
+        order = np.argsort(_d2(m), axis=1, kind="stable")[:, :n_probe]
+        return pd.Series(list(order.astype(np.int64)))
+
+    cu = corpus.select(
+        F.col(id_col), quantize(F.col(vec_col), scale).alias("_qc")
+    ).withColumn("cell", assign(F.col("_qc")))
+    qu = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            quantize(F.col(vec_col), scale).alias("_qq"),
+        ).select("query_id", "_qq", F.explode(probe(F.col("_qq"))).alias("cell"))
+    )
+    nrm = lambda c: F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x * x), F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    qdot = F.aggregate(
+        F.zip_with("_qc", "_qq", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda a, v: a + v,
+    )
+    cands = (
+        cu.join(qu, "cell")
+        .where(F.col("query_id") != F.col(id_col))
+        .select(
+            "query_id",
+            id_col,
+            F.round(
+                qdot
+                / F.sqrt(
+                    nrm(F.col("_qc")).cast("double")
+                    * nrm(F.col("_qq")).cast("double")
+                ),
+                4,
+            ).alias("score"),
+        )
+    )
+    rw = W.partitionBy("query_id").orderBy(F.desc("score"), F.col(id_col))
+    return (
+        cands.withColumn("rank", F.row_number().over(rw))
+        .where(F.col("rank") <= k)
+    )

@@ -2743,6 +2743,96 @@ ORDER BY query_id, rank
 """
 
 
+def q56_ivf_ann_exact(spark, sf_dir):
+    """IVF ANN with a fully SQL-replayable pipeline
+    (:func:`similarity.ivf_topk_exact`): md5-derived integer centroids
+    + int64 squared-distance assignment make cell membership EXACT
+    cross-engine — the q37 shape graduated to a hash-checked oracle
+    (q37 keeps the trained sampled-Lloyd quantizer for real recall).
+    Same scale shape: one Arrow matmul map-side, cells as join keys,
+    queries broadcast."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x.cast("double") + 0.001).cast("float")
+        ).alias("embedding"),
+    )
+    out = similarity.ivf_topk_exact(
+        emb, queries, dim=64, k=5, n_cells=16, n_probe=4
+    )
+    return out.select("query_id", "vec_id", "score", "rank").orderBy(
+        "query_id", "rank"
+    )
+
+
+Q56_SQL = """
+WITH corpus AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+  FROM embeddings),
+qry AS (
+  SELECT vec_id + 100000 AS query_id,
+         list_transform(embedding,
+           x -> CAST(ROUND(CAST(CAST(CAST(x AS DOUBLE) + 0.001 AS FLOAT)
+                            AS DOUBLE) * 1000) AS BIGINT)) AS q
+  FROM embeddings WHERE vec_id < 5),
+cen AS (
+  SELECT cell.c AS cell, d.d AS d,
+         CAST(CAST('0x' || substr(md5('c' || cell.c || '_' || d.d), 1, 8)
+                   AS UBIGINT) % 2000 AS BIGINT) - 1000 AS cv
+  FROM generate_series(0, 15) cell(c), generate_series(0, 63) d(d)),
+cex AS (
+  SELECT vec_id, unnest(generate_series(1, len(q))) AS i, unnest(q) AS qv
+  FROM corpus),
+cdist AS (
+  SELECT e.vec_id, c.cell, SUM((e.qv - c.cv) * (e.qv - c.cv)) AS d2
+  FROM cex e JOIN cen c ON c.d = e.i - 1 GROUP BY 1, 2),
+cassign AS (
+  SELECT vec_id, cell
+  FROM (SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY d2, cell) AS rn
+        FROM cdist) WHERE rn = 1),
+qex AS (
+  SELECT query_id, unnest(generate_series(1, len(q))) AS i, unnest(q) AS qv
+  FROM qry),
+qdist AS (
+  SELECT e.query_id, c.cell, SUM((e.qv - c.cv) * (e.qv - c.cv)) AS d2
+  FROM qex e JOIN cen c ON c.d = e.i - 1 GROUP BY 1, 2),
+qprobe AS (
+  SELECT query_id, cell
+  FROM (SELECT query_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY d2, cell) AS rn
+        FROM qdist) WHERE rn <= 4),
+cand AS (
+  SELECT qp.query_id, ca.vec_id
+  FROM cassign ca JOIN qprobe qp ON ca.cell = qp.cell
+  WHERE qp.query_id <> ca.vec_id),
+scored AS (
+  SELECT c.query_id, c.vec_id,
+         ROUND(CAST(list_sum(list_transform(list_zip(co.q, qq.q),
+                 p -> p[1] * p[2])) AS DOUBLE)
+               / SQRT(CAST(list_sum(list_transform(co.q, x -> x * x))
+                           AS DOUBLE)
+                      * CAST(list_sum(list_transform(qq.q, x -> x * x))
+                             AS DOUBLE)), 4) AS score
+  FROM cand c
+  JOIN corpus co ON co.vec_id = c.vec_id
+  JOIN qry qq ON qq.query_id = c.query_id),
+r AS (
+  SELECT query_id, vec_id, score,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, vec_id)
+              AS INTEGER) AS rank
+  FROM scored)
+SELECT query_id, vec_id, score, rank FROM r WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_profile_lineitem": q02_profile_lineitem,
@@ -2799,6 +2889,7 @@ QUERIES = {
     "q53_token_budget_mix": q53_token_budget_mix,
     "q54_bigram_merge": q54_bigram_merge,
     "q55_lsh_ann_exact": q55_lsh_ann_exact,
+    "q56_ivf_ann_exact": q56_ivf_ann_exact,
 }
 
 ORACLES = {
@@ -2854,6 +2945,7 @@ ORACLES = {
     "q53_token_budget_mix": Q53_SQL,
     "q54_bigram_merge": Q54_SQL,
     "q55_lsh_ann_exact": Q55_SQL,
+    "q56_ivf_ann_exact": Q56_SQL,
     # q21/q32/q37: rows-only by design — approximate ANN top-k
     # (recall < 1 is intrinsic at honest params) and t-digest sketches
     # have no exact SQL twin.
