@@ -32,6 +32,8 @@ def test_cli_end_to_end(tmp_path):
         "resources": [
             {
                 "name": "orders",
+                # required by the G1 descriptor rule (oneOf path/data)
+                "path": "orders.parquet",
                 "schema": {
                     "fields": [
                         {"name": "o_orderkey", "type": "integer", "constraints": {"required": True}},
