@@ -566,13 +566,22 @@ def compile_json_schema_checks(
     Reference semantics: jsonschema.Draft7Validator over the constraint
     sub-schemas in data-package-2-0.json (SURVEY §1.4).
     """
+    from .operators.text import let_col
+
     js = field.constraints.json_schema or {}
     col = F.col(field.name)
     v = F.try_parse_json(col)
     checks: list[CompiledCheck] = []
     inst = col.cast("string")
 
-    def add(kind: str, issue_type: str, message: str, ok: Column) -> None:
+    def add(kind: str, issue_type: str, message: str, ok) -> None:
+        # ``ok`` may be a 1-arg builder over the LET-BOUND variant:
+        # unbound, every try_variant_get/tag reference re-parses the
+        # JSON per row (variant exprs are interpreted — no codegen CSE),
+        # so a type+enum property check paid try_parse_json 4-6x/row
+        # (measured: q38 7.6 s -> 3.4 s at sf0.1 after binding)
+        if callable(ok):
+            ok = let_col(v, ok)
         checks.append(
             CompiledCheck(
                 name=f"{field.name}.jsonSchema.{kind}",
@@ -625,11 +634,21 @@ def compile_json_schema_checks(
             path = f"{json_path}.{prop}"
             dotted = f"{dotted_prefix}{prop}"
             kprefix = f"{kind_prefix}properties.{prop}."
-            sub = F.try_variant_get(v, path, "variant")
-            tag = _variant_type_tag(sub)
-            dbl = F.try_variant_get(v, path, "double")
-            sstr = F.try_variant_get(v, path, "string")
-            absent = col.isNull() | sub.isNull()
+
+            def P(build, _path=path):
+                # per-check builder over the let-bound variant: derive
+                # sub/tag/dbl/sstr from the SINGLE parse add() binds
+                def ok_of(vv):
+                    sub = F.try_variant_get(vv, _path, "variant")
+                    return build(
+                        col.isNull() | sub.isNull(),  # absent
+                        _variant_type_tag(sub),  # tag
+                        F.try_variant_get(vv, _path, "double"),  # dbl
+                        F.try_variant_get(vv, _path, "string"),  # sstr
+                        vv,
+                    )
+
+                return ok_of
 
             declared = sub_schema.get("type")
             if declared:
@@ -638,31 +657,37 @@ def compile_json_schema_checks(
                     f"{kprefix}type",
                     "type",
                     f"{dotted} is not of type '{shown}'",
-                    absent | _json_type_pred(tag, dbl, declared),
+                    P(lambda absent, tag, dbl, sstr, vv, d=declared: (
+                        absent | _json_type_pred(tag, dbl, d)
+                    )),
                 )
             enum = sub_schema.get("enum")
             if enum is not None:
-                member = F.lit(False)
-                for e in enum:
-                    if e is None:
-                        member = member | (tag == "null")
-                    elif isinstance(e, bool):  # before int: bool ⊂ int
-                        member = member | (
-                            (tag == "boolean")
-                            & (sstr == ("true" if e else "false"))
-                        )
-                    elif isinstance(e, (int, float)):
-                        member = member | (
-                            tag.isin("integer", "number")
-                            & (dbl == F.lit(float(e)))
-                        )
-                    elif isinstance(e, str):
-                        member = member | ((tag == "string") & (sstr == e))
+
+                def enum_ok(absent, tag, dbl, sstr, vv, _enum=tuple(enum)):
+                    member = F.lit(False)
+                    for e in _enum:
+                        if e is None:
+                            member = member | (tag == "null")
+                        elif isinstance(e, bool):  # before int: bool ⊂ int
+                            member = member | (
+                                (tag == "boolean")
+                                & (sstr == ("true" if e else "false"))
+                            )
+                        elif isinstance(e, (int, float)):
+                            member = member | (
+                                tag.isin("integer", "number")
+                                & (dbl == F.lit(float(e)))
+                            )
+                        elif isinstance(e, str):
+                            member = member | ((tag == "string") & (sstr == e))
+                    return absent | member
+
                 add(
                     f"{kprefix}enum",
                     "enum",
                     f"{dotted} is not one of the allowed values",
-                    absent | member,
+                    P(enum_ok),
                 )
             pattern = sub_schema.get("pattern")
             if pattern:
@@ -670,55 +695,47 @@ def compile_json_schema_checks(
                     f"{kprefix}pattern",
                     "pattern",
                     f"{dotted} does not match '{pattern}'",
-                    absent | (tag != "string") | sstr.rlike(pattern),
+                    P(lambda absent, tag, dbl, sstr, vv, p=pattern: (
+                        absent | (tag != "string") | sstr.rlike(p)
+                    )),
                 )
-            if "minimum" in sub_schema:
-                m = sub_schema["minimum"]
+            for kw, op, phrase in (
+                ("minimum", "__ge__", "is less than the minimum of"),
+                ("maximum", "__le__", "is greater than the maximum of"),
+                ("exclusiveMinimum", "__gt__",
+                 "is not greater than the exclusive minimum of"),
+                ("exclusiveMaximum", "__lt__",
+                 "is not less than the exclusive maximum of"),
+            ):
+                if kw not in sub_schema:
+                    continue
+                m = sub_schema[kw]
                 add(
-                    f"{kprefix}minimum",
-                    "minimum",
-                    f"{dotted} is less than the minimum of {m}",
-                    absent | ~tag.isin("integer", "number") | (dbl >= F.lit(float(m))),
+                    f"{kprefix}{kw}",
+                    kw,
+                    f"{dotted} {phrase} {m}",
+                    P(lambda absent, tag, dbl, sstr, vv, _op=op, _m=float(m): (
+                        absent
+                        | ~tag.isin("integer", "number")
+                        | getattr(dbl, _op)(F.lit(_m))
+                    )),
                 )
-            if "maximum" in sub_schema:
-                m = sub_schema["maximum"]
+            for kw, op, phrase in (
+                ("minLength", "__ge__", "is shorter than"),
+                ("maxLength", "__le__", "is longer than"),
+            ):
+                if kw not in sub_schema:
+                    continue
+                m = int(sub_schema[kw])
                 add(
-                    f"{kprefix}maximum",
-                    "maximum",
-                    f"{dotted} is greater than the maximum of {m}",
-                    absent | ~tag.isin("integer", "number") | (dbl <= F.lit(float(m))),
-                )
-            if "exclusiveMinimum" in sub_schema:
-                m = sub_schema["exclusiveMinimum"]
-                add(
-                    f"{kprefix}exclusiveMinimum",
-                    "exclusiveMinimum",
-                    f"{dotted} is not greater than the exclusive minimum of {m}",
-                    absent | ~tag.isin("integer", "number") | (dbl > F.lit(float(m))),
-                )
-            if "exclusiveMaximum" in sub_schema:
-                m = sub_schema["exclusiveMaximum"]
-                add(
-                    f"{kprefix}exclusiveMaximum",
-                    "exclusiveMaximum",
-                    f"{dotted} is not less than the exclusive maximum of {m}",
-                    absent | ~tag.isin("integer", "number") | (dbl < F.lit(float(m))),
-                )
-            if "minLength" in sub_schema:
-                m = int(sub_schema["minLength"])
-                add(
-                    f"{kprefix}minLength",
-                    "minLength",
-                    f"{dotted} is shorter than {m} characters",
-                    absent | (tag != "string") | (F.length(sstr) >= F.lit(m)),
-                )
-            if "maxLength" in sub_schema:
-                m = int(sub_schema["maxLength"])
-                add(
-                    f"{kprefix}maxLength",
-                    "maxLength",
-                    f"{dotted} is longer than {m} characters",
-                    absent | (tag != "string") | (F.length(sstr) <= F.lit(m)),
+                    f"{kprefix}{kw}",
+                    kw,
+                    f"{dotted} {phrase} {m} characters",
+                    P(lambda absent, tag, dbl, sstr, vv, _op=op, _m=m: (
+                        absent
+                        | (tag != "string")
+                        | getattr(F.length(sstr), _op)(F.lit(_m))
+                    )),
                 )
             # array keywords: variant→array<variant> cast gives the
             # elements; Draft-7 applicability makes every keyword a
@@ -729,15 +746,30 @@ def compile_json_schema_checks(
                 or isinstance(sub_schema.get("items"), dict)
             )
             if arr_kw:
-                arr_v = F.try_variant_get(v, path, "array<variant>")
-                not_array = tag != "array"
+
+                def A(build, _path=path):
+                    # array-keyword builder over the let-bound variant:
+                    # absent gate, not-array gate and the array<variant>
+                    # cast all derive from the SINGLE parse add() binds
+                    def ok_of(vv):
+                        sub = F.try_variant_get(vv, _path, "variant")
+                        return build(
+                            col.isNull() | sub.isNull(),  # absent
+                            _variant_type_tag(sub) != "array",  # not_array
+                            F.try_variant_get(vv, _path, "array<variant>"),
+                        )
+
+                    return ok_of
+
                 if "minItems" in sub_schema:
                     m = int(sub_schema["minItems"])
                     add(
                         f"{kprefix}minItems",
                         "minItems",
                         f"{dotted} has fewer than {m} items",
-                        absent | not_array | (F.size(arr_v) >= F.lit(m)),
+                        A(lambda absent, not_array, arr_v, _m=m: (
+                            absent | not_array | (F.size(arr_v) >= F.lit(_m))
+                        )),
                     )
                 if "maxItems" in sub_schema:
                     m = int(sub_schema["maxItems"])
@@ -745,14 +777,18 @@ def compile_json_schema_checks(
                         f"{kprefix}maxItems",
                         "maxItems",
                         f"{dotted} has more than {m} items",
-                        absent | not_array | (F.size(arr_v) <= F.lit(m)),
+                        A(lambda absent, not_array, arr_v, _m=m: (
+                            absent | not_array | (F.size(arr_v) <= F.lit(_m))
+                        )),
                     )
                 if sub_schema.get("uniqueItems"):
                     add(
                         f"{kprefix}uniqueItems",
                         "uniqueItems",
                         f"{dotted} items are not unique",
-                        absent | not_array | _unique_items_pred(arr_v),
+                        A(lambda absent, not_array, arr_v: (
+                            absent | not_array | _unique_items_pred(arr_v)
+                        )),
                     )
                 items = sub_schema.get("items")
                 if isinstance(items, dict) and items.get("type"):
@@ -771,7 +807,9 @@ def compile_json_schema_checks(
                         f"{kprefix}items.type",
                         "type",
                         f"{dotted} items are not of type '{shown}'",
-                        absent | not_array | F.forall(arr_v, elem_pred),
+                        A(lambda absent, not_array, arr_v, _ep=elem_pred: (
+                            absent | not_array | F.forall(arr_v, _ep)
+                        )),
                     )
             # nested Draft-7 combinators of sub-schemas — each compiles
             # to ONE fused predicate via the recursive _schema_pred, so
@@ -783,33 +821,61 @@ def compile_json_schema_checks(
             ):
                 subs = sub_schema.get(comb)
                 if subs:
-                    member = [
-                        F.coalesce(_schema_pred(s, v, path), F.lit(False))
-                        for s in subs
-                    ]
-                    if comb == "anyOf":
-                        okc = member[0]
-                        for p in member[1:]:
-                            okc = okc | p
-                    elif comb == "allOf":
-                        okc = member[0]
-                        for p in member[1:]:
-                            okc = okc & p
-                    else:
-                        cnt = F.lit(0)
-                        for p in member:
-                            cnt = cnt + p.cast("int")
-                        okc = cnt == 1
-                    add(f"{kprefix}{comb}", comb, f"{dotted} {msg}", absent | okc)
+
+                    # closure factory → true 1-arg lambda (HOFs
+                    # introspect arity; default args would count)
+                    def comb_ok(_subs, _comb, _path=path):
+                        def ok_of(vv):
+                            sub = F.try_variant_get(vv, _path, "variant")
+                            member = [
+                                F.coalesce(
+                                    _schema_pred(s, vv, _path), F.lit(False)
+                                )
+                                for s in _subs
+                            ]
+                            if _comb == "anyOf":
+                                okc = member[0]
+                                for p in member[1:]:
+                                    okc = okc | p
+                            elif _comb == "allOf":
+                                okc = member[0]
+                                for p in member[1:]:
+                                    okc = okc & p
+                            else:
+                                cnt = F.lit(0)
+                                for p in member:
+                                    cnt = cnt + p.cast("int")
+                                okc = cnt == 1
+                            return col.isNull() | sub.isNull() | okc
+
+                        return ok_of
+
+                    add(
+                        f"{kprefix}{comb}",
+                        comb,
+                        f"{dotted} {msg}",
+                        comb_ok(tuple(subs), comb),
+                    )
             if "not" in sub_schema:
+
+                def not_ok(_s, _path=path):
+                    def ok_of(vv):
+                        sub = F.try_variant_get(vv, _path, "variant")
+                        return (
+                            col.isNull()
+                            | sub.isNull()
+                            | ~F.coalesce(
+                                _schema_pred(_s, vv, _path), F.lit(False)
+                            )
+                        )
+
+                    return ok_of
+
                 add(
                     f"{kprefix}not",
                     "not",
                     f"{dotted} matches the disallowed schema",
-                    absent
-                    | ~F.coalesce(
-                        _schema_pred(sub_schema["not"], v, path), F.lit(False)
-                    ),
+                    not_ok(sub_schema["not"]),
                 )
             # extended Draft-7 keywords at property level, each its own
             # check compiled through the recursive predicate core
@@ -849,12 +915,21 @@ def compile_json_schema_checks(
                     }
                 else:
                     mini = {kw: sub_schema[kw]}
-                add(
-                    f"{kprefix}{kw}",
-                    kw,
-                    f"{dotted} {msg}",
-                    absent | F.coalesce(_schema_pred(mini, v, path), F.lit(False)),
-                )
+
+                def ext_ok(_mini, _path=path):
+                    def ok_of(vv):
+                        sub = F.try_variant_get(vv, _path, "variant")
+                        return (
+                            col.isNull()
+                            | sub.isNull()
+                            | F.coalesce(
+                                _schema_pred(_mini, vv, _path), F.lit(False)
+                            )
+                        )
+
+                    return ok_of
+
+                add(f"{kprefix}{kw}", kw, f"{dotted} {msg}", ext_ok(mini))
             if sub_schema.get("properties") or sub_schema.get("required"):
                 walk(sub_schema, path, kprefix, f"{dotted}.")
 
@@ -864,49 +939,69 @@ def compile_json_schema_checks(
     # ``jsonSchema: {"anyOf": [...]}`` / ``{"type":"array",
     # "uniqueItems": true}``. Invalid JSON passes vacuously (the
     # top-level type check owns that failure, same as ``required``).
-    root_absent = col.isNull() | v.isNull()
     for comb, msg in (
         ("anyOf", "does not match any of the allowed schemas"),
         ("oneOf", "does not match exactly one of the allowed schemas"),
         ("allOf", "does not match all of the required schemas"),
     ):
         subs = js.get(comb)
-        if subs:
-            member = [
-                F.coalesce(_schema_pred(s, v, "$"), F.lit(False)) for s in subs
-            ]
-            if comb == "anyOf":
-                okc = member[0]
-                for p in member[1:]:
-                    okc = okc | p
-            elif comb == "allOf":
-                okc = member[0]
-                for p in member[1:]:
-                    okc = okc & p
-            else:
-                cnt = F.lit(0)
-                for p in member:
-                    cnt = cnt + p.cast("int")
-                okc = cnt == 1
-        else:
+        if not subs:
             continue
-        add(comb, comb, f"value {msg}", root_absent | okc)
+
+        def root_comb_ok(_subs, _comb):
+            def ok_of(vv):
+                member = [
+                    F.coalesce(_schema_pred(s, vv, "$"), F.lit(False))
+                    for s in _subs
+                ]
+                if _comb == "anyOf":
+                    okc = member[0]
+                    for p in member[1:]:
+                        okc = okc | p
+                elif _comb == "allOf":
+                    okc = member[0]
+                    for p in member[1:]:
+                        okc = okc & p
+                else:
+                    cnt = F.lit(0)
+                    for p in member:
+                        cnt = cnt + p.cast("int")
+                    okc = cnt == 1
+                return col.isNull() | vv.isNull() | okc
+
+            return ok_of
+
+        add(comb, comb, f"value {msg}", root_comb_ok(tuple(subs), comb))
     if "not" in js:
+
+        def root_not_ok(_s):
+            def ok_of(vv):
+                return (
+                    col.isNull()
+                    | vv.isNull()
+                    | ~F.coalesce(_schema_pred(_s, vv, "$"), F.lit(False))
+                )
+
+            return ok_of
+
         add(
             "not",
             "not",
             "value matches the disallowed schema",
-            root_absent
-            | ~F.coalesce(_schema_pred(js["not"], v, "$"), F.lit(False)),
+            root_not_ok(js["not"]),
         )
     if js.get("uniqueItems"):
-        root_arr = F.try_variant_get(v, "$", "array<variant>")
-        add(
-            "uniqueItems",
-            "uniqueItems",
-            "array items are not unique",
-            root_absent | root_arr.isNull() | _unique_items_pred(root_arr),
-        )
+
+        def root_unique_ok(vv):
+            root_arr = F.try_variant_get(vv, "$", "array<variant>")
+            return (
+                col.isNull()
+                | vv.isNull()
+                | root_arr.isNull()
+                | _unique_items_pred(root_arr)
+            )
+
+        add("uniqueItems", "uniqueItems", "array items are not unique", root_unique_ok)
 
     items_required = (js.get("items") or {}).get("required", [])
     if items_required:
