@@ -1,0 +1,89 @@
+"""Structural validation of pre-tokenized training sequences — the
+north-star table shape (doc_id, tokens:array<int32>, n_tok, source).
+
+Beyond the per-row length invariant (q18 / fixtures.token_invariant_
+checks), a tokenized corpus has STRUCTURAL invariants a trainer relies
+on: the first token is BOS, the last is EOS, padding never appears in
+the interior, and every id is inside the embedding table. A single bad
+shard silently corrupts loss curves, so these run as one fused
+map-side pass per shard.
+
+Reference parity: the reference validates field values one constraint
+at a time (check.py check_data); this lifts the same per-row
+pass/fail + per-check counts contract onto token arrays.
+
+Scale shape: all four predicates are JVM higher-order expressions over
+the let-bound array (one evaluation per row, see text.let_col), fused
+into ONE aggregation with map-side combine — zero extra shuffles at
+any corpus size, no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import let_col
+
+
+def structure_flags(
+    tokens: Column,
+    bos: int,
+    eos: int,
+    pad: int,
+    max_id: int,
+) -> Column:
+    """Struct of per-row structural violation flags over a token array:
+    ``missing_bos``, ``bad_eos``, ``pad_interior``, ``oov``.
+
+    ``pad_interior`` counts pads then discounts the endpoints (works
+    for any array length without slicing, and replays exactly in SQL);
+    ``oov`` is any id outside ``[0, max_id]``. The array expression is
+    let-bound so callers can pass a CONSTRUCTED array (e.g. a planted
+    corruption) without paying one re-evaluation per predicate.
+    """
+
+    def flags_of(t: Column) -> Column:
+        first = F.element_at(t, 1)
+        last = F.element_at(t, -1)
+        n_pad = F.size(F.filter(t, lambda x: x == F.lit(pad)))
+        interior_pads = (
+            n_pad
+            - (first == pad).cast("int")
+            - (last == pad).cast("int")
+        )
+        return F.struct(
+            (first != bos).alias("missing_bos"),
+            (last != eos).alias("bad_eos"),
+            (interior_pads > 0).alias("pad_interior"),
+            F.exists(
+                t, lambda x: (x < F.lit(0)) | (x > F.lit(max_id))
+            ).alias("oov"),
+        )
+
+    return let_col(tokens, flags_of)
+
+
+def structure_summary(
+    df: DataFrame,
+    tokens: Column,
+    bos: int,
+    eos: int,
+    pad: int,
+    max_id: int,
+    by: str = "source",
+) -> DataFrame:
+    """Per-group counts of each structural violation, one fused pass:
+    (by, n_seqs, n_missing_bos, n_bad_eos, n_pad_interior, n_oov)."""
+    f = structure_flags(tokens, bos=bos, eos=eos, pad=pad, max_id=max_id)
+    flagged = df.select(F.col(by), f.alias("_f"))
+    cnt = lambda name: F.sum(  # noqa: E731
+        F.col(f"_f.{name}").cast("long")
+    ).alias(f"n_{name}")
+    return flagged.groupBy(by).agg(
+        F.count(F.lit(1)).alias("n_seqs"),
+        cnt("missing_bos"),
+        cnt("bad_eos"),
+        cnt("pad_interior"),
+        cnt("oov"),
+    )

@@ -705,3 +705,95 @@ def ivf_topk_exact(
         cands.withColumn("rank", F.row_number().over(rw))
         .where(F.col("rank") <= k)
     )
+
+
+def semantic_dedup_exact(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    threshold: float = 0.9,
+    scale: int = 1000,
+) -> DataFrame:
+    """Cluster-bucketed semantic deduplication — the 100 TB shape for
+    embedding-space dedup (SemDeDup-style): assign every vector to ONE
+    coarse cell, then score cosine only WITHIN cells, so the pairwise
+    work is sum(|cell|^2) instead of N^2. Returns the duplicate pairs
+    ``(cell, id_a, id_b, score)`` with ``id_a < id_b`` and
+    ``score >= threshold``; a caller drops ``id_b`` (keep-lowest-id
+    policy) or feeds the pairs to the connected-components clusterer
+    (operators/cluster.py) for transitive groups.
+
+    Integer-exact and SQL-replayable end-to-end (:func:`md5_centroids`
+    + int64 quantization + int64 Gram matrices; the raw score is the
+    same IEEE double in numpy and in the SQL twin, and the ROUNDED
+    score + final threshold filter stay JVM-side so the half-up
+    rounding matches the oracle exactly — the UDF only pre-filters
+    with a 1e-4 slack, which can never flip a rounded-4dp decision).
+
+    Scale shape: assignment is one Arrow pandas-UDF matmul map-side
+    (no shuffle); ONE shuffle groups each cell, and the within-cell
+    pairwise runs as a single int64 Gram matmul per cell (numpy,
+    exact) instead of |cell|² interpreted per-pair expressions —
+    measured 13 s → sub-second at 5k vectors. Cell size is bounded by
+    the coarse quantizer's balance (n_cells is the knob — at 10^9
+    vectors you'd use ~sqrt(N) cells and a second-level residual
+    quantizer, same plan shape; a cell's Gram tile must fit an
+    executor, which is the same constraint SemDeDup-style cluster
+    dedup has by construction).
+    """
+    import numpy as np
+    from pyspark.sql import types as T
+
+    C = md5_centroids(n_cells, dim, spread=scale)
+    c_sq = (C * C).sum(axis=1)
+
+    @F.pandas_udf(T.LongType())
+    def assign(vecs: pd.Series) -> pd.Series:
+        m = np.vstack([np.asarray(v, dtype=np.int64) for v in vecs])
+        d2 = (m * m).sum(axis=1)[:, None] - 2 * (m @ C.T) + c_sq[None, :]
+        return pd.Series(np.argmin(d2, axis=1).astype(np.int64))
+
+    cu = df.select(
+        F.col(id_col), quantize(F.col(vec_col), scale).alias("_q")
+    ).withColumn("cell", assign(F.col("_q")))
+
+    slack = float(threshold) - 1e-4
+
+    def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        if len(ids) < 2:
+            return pd.DataFrame(
+                {
+                    "cell": np.empty(0, np.int64),
+                    "id_a": np.empty(0, np.int64),
+                    "id_b": np.empty(0, np.int64),
+                    "raw": np.empty(0, np.float64),
+                }
+            )
+        order = np.argsort(ids)
+        ids = ids[order]
+        m = np.vstack(
+            [np.asarray(v, dtype=np.int64) for v in pdf["_q"].to_numpy()[order]]
+        )
+        g = m @ m.T  # int64 Gram: exact
+        n = np.diag(g).astype(np.float64)
+        raw = g / np.sqrt(n[:, None] * n[None, :])
+        ia, ib = np.triu_indices(len(ids), k=1)
+        keep = raw[ia, ib] >= slack
+        return pd.DataFrame(
+            {
+                "cell": np.full(int(keep.sum()), pdf["cell"].iloc[0], np.int64),
+                "id_a": ids[ia[keep]],
+                "id_b": ids[ib[keep]],
+                "raw": raw[ia[keep], ib[keep]],
+            }
+        )
+
+    out = cu.groupBy("cell").applyInPandas(
+        cell_pairs, "cell long, id_a long, id_b long, raw double"
+    )
+    return out.select(
+        "cell", "id_a", "id_b", F.round("raw", 4).alias("score")
+    ).where(F.col("score") >= F.lit(threshold))

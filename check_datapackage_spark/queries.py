@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .operators import cluster, decontam, dedup, drift, infer, multimodal, packing, referential, sampling, similarity, stats, text, uniqueness
+from .operators import cluster, decontam, dedup, drift, infer, multimodal, packing, referential, sampling, sequences, similarity, stats, text, uniqueness
 from .operators.drift import bucket_sql
 from .plans.validation import violations_plan
 from .spec import CheckConfig, Exclusion, TableSpec
@@ -2833,6 +2833,231 @@ ORDER BY query_id, rank
 """
 
 
+def q57_semantic_dedup(spark, sf_dir):
+    """Cluster-bucketed semantic dedup
+    (:func:`similarity.semantic_dedup_exact`): every vector lands in
+    ONE md5-integer coarse cell, cosine runs only within cells
+    (sum(|cell|^2), never N^2), and the int64 pipeline replays exactly
+    in SQL. Near-dups are planted by unioning perturbed copies of
+    vec_id < 10 — both engines plant identically, so natural AND
+    planted pairs are all verified."""
+    emb = _t(spark, sf_dir, "embeddings")
+    planted = emb.where(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x.cast("double") + 0.001).cast("float")
+        ).alias("embedding"),
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(planted)
+    out = similarity.semantic_dedup_exact(
+        corpus, dim=64, n_cells=16, threshold=0.9
+    )
+    return out.select("cell", "id_a", "id_b", "score").orderBy("id_a", "id_b")
+
+
+Q57_SQL = """
+WITH base AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000,
+         list_transform(embedding,
+           x -> CAST(ROUND(CAST(CAST(CAST(x AS DOUBLE) + 0.001 AS FLOAT)
+                            AS DOUBLE) * 1000) AS BIGINT))
+  FROM embeddings WHERE vec_id < 10),
+cen AS (
+  SELECT cell.c AS cell, d.d AS d,
+         CAST(CAST('0x' || substr(md5('c' || cell.c || '_' || d.d), 1, 8)
+                   AS UBIGINT) % 2000 AS BIGINT) - 1000 AS cv
+  FROM generate_series(0, 15) cell(c), generate_series(0, 63) d(d)),
+cex AS (
+  SELECT vec_id, unnest(generate_series(1, len(q))) AS i, unnest(q) AS qv
+  FROM base),
+cdist AS (
+  SELECT e.vec_id, c.cell, SUM((e.qv - c.cv) * (e.qv - c.cv)) AS d2
+  FROM cex e JOIN cen c ON c.d = e.i - 1 GROUP BY 1, 2),
+cassign AS (
+  SELECT vec_id, cell
+  FROM (SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY d2, cell) AS rn
+        FROM cdist) WHERE rn = 1),
+pairs AS (
+  SELECT a.cell, a.vec_id AS id_a, b.vec_id AS id_b
+  FROM cassign a JOIN cassign b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id),
+scored AS (
+  SELECT p.cell, p.id_a, p.id_b,
+         ROUND(CAST(list_sum(list_transform(list_zip(qa.q, qb.q),
+                 z -> z[1] * z[2])) AS DOUBLE)
+               / SQRT(CAST(list_sum(list_transform(qa.q, x -> x * x))
+                           AS DOUBLE)
+                      * CAST(list_sum(list_transform(qb.q, x -> x * x))
+                             AS DOUBLE)), 4) AS score
+  FROM pairs p
+  JOIN base qa ON qa.vec_id = p.id_a
+  JOIN base qb ON qb.vec_id = p.id_b)
+SELECT cell, id_a, id_b, score FROM scored
+WHERE score >= 0.9 ORDER BY id_a, id_b
+"""
+
+
+#: q58 blocklist — bounded literal set; at real blocklist size this is
+#: a broadcast semi-join dim (operators/referential.py shape).
+_Q58_BLOCKLIST = ["d0.example.com", "d3.example.com", "d5.example.com"]
+
+
+def q58_url_blocklist(spark, sf_dir):
+    """URL/domain extraction + blocklist verdict
+    (:func:`text.url_domain_stats`) over docs with planted URLs
+    (doc_id % 3 gets an md5-derived domain + a fixed mirror host —
+    both engines plant identically). One codegen regexp scan, explode
+    of matches only, one (source, domain) aggregation."""
+    docs = _t(spark, sf_dir, "documents")
+    dom = F.concat(
+        F.lit("d"),
+        (
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % 8
+        ).cast("string"),
+        F.lit(".example.com"),
+    )
+    planted = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" see http://"),
+            dom,
+            F.lit("/p"),
+            F.col("doc_id").cast("string"),
+            F.lit(" and https://Mirror.example.org/x"),
+        ),
+    ).otherwise(F.col("text"))
+    aug = docs.select("source", planted.alias("text"))
+    return text.url_domain_stats(
+        aug, "text", blocklist=_Q58_BLOCKLIST
+    ).orderBy("source", "domain")
+
+
+Q58_SQL = r"""
+WITH aug AS (
+  SELECT source,
+         CASE WHEN doc_id % 3 = 0
+              THEN text || ' see http://d' ||
+                   CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                            1, 8) AS UBIGINT) % 8
+                        AS VARCHAR) ||
+                   '.example.com/p' || CAST(doc_id AS VARCHAR) ||
+                   ' and https://Mirror.example.org/x'
+              ELSE text END AS text
+  FROM documents),
+e AS (
+  SELECT source,
+         lower(unnest(regexp_extract_all(text,
+               'https?://([A-Za-z0-9.-]+)', 1))) AS domain
+  FROM aug)
+SELECT source, domain, CAST(COUNT(*) AS BIGINT) AS n_urls,
+       domain IN ('d0.example.com', 'd3.example.com', 'd5.example.com')
+         AS blocked
+FROM e GROUP BY source, domain ORDER BY source, domain
+"""
+
+
+#: q59 token ids: body 0..999 from the shared md5 word hash;
+#: BOS=1000, EOS=1001, PAD=1002 (max valid id 1002).
+_Q59_VOCAB = 1000
+_Q59_BOS, _Q59_EOS, _Q59_PAD = 1000, 1001, 1002
+
+
+def q59_sequence_structure(spark, sf_dir):
+    """Structural validation of tokenized sequences
+    (:func:`sequences.structure_summary`): BOS-first, EOS-last,
+    no interior padding, all ids in-vocab — the shard-level invariants
+    of the north-star (doc_id, tokens, n_tok, source) table. Sequences
+    are built from the shared md5 tokenizer with corruptions planted by
+    doc_id residue (% 37 drops BOS, % 41 pads the tail, % 43 pads the
+    interior, % 47 injects an out-of-vocab id) — identical in both
+    engines, so every count is exact. All four predicates evaluate over
+    ONE let-bound array in one fused map-side aggregation."""
+    docs = _t(spark, sf_dir, "documents")
+    words = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda w: w != F.lit("")
+    )
+    body = F.transform(
+        words,
+        lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long")
+        % _Q59_VOCAB,
+    )
+    L = lambda *ids: F.array(*[F.lit(i).cast("long") for i in ids])  # noqa: E731
+    did = F.col("doc_id")
+    tokens = (
+        F.when(did % 37 == 0, F.concat(body, L(_Q59_EOS)))
+        .when(did % 41 == 0, F.concat(L(_Q59_BOS), body, L(_Q59_PAD)))
+        .when(
+            did % 43 == 0,
+            F.concat(L(_Q59_BOS, _Q59_PAD), body, L(_Q59_EOS)),
+        )
+        .when(
+            did % 47 == 0,
+            F.concat(L(_Q59_BOS), body, L(_Q59_VOCAB + 9, _Q59_EOS)),
+        )
+        .otherwise(F.concat(L(_Q59_BOS), body, L(_Q59_EOS)))
+    )
+    return sequences.structure_summary(
+        docs,
+        tokens,
+        bos=_Q59_BOS,
+        eos=_Q59_EOS,
+        pad=_Q59_PAD,
+        max_id=_Q59_PAD,
+    ).orderBy("source")
+
+
+Q59_SQL = r"""
+WITH w AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> x <> '') AS ws
+  FROM documents),
+b AS (
+  SELECT doc_id, source,
+         list_transform(ws, w ->
+           CAST(CAST('0x' || substr(md5(w), 1, 8) AS UBIGINT) % 1000
+                AS BIGINT)) AS body
+  FROM w),
+s AS (
+  SELECT source,
+         CASE WHEN doc_id % 37 = 0 THEN list_concat(body, [1001])
+              WHEN doc_id % 41 = 0
+                THEN list_concat([1000], list_concat(body, [1002]))
+              WHEN doc_id % 43 = 0
+                THEN list_concat([1000, 1002], list_concat(body, [1001]))
+              WHEN doc_id % 47 = 0
+                THEN list_concat([1000], list_concat(body, [1009, 1001]))
+              ELSE list_concat([1000], list_concat(body, [1001]))
+         END AS t
+  FROM b)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_seqs,
+  CAST(SUM(CASE WHEN t[1] <> 1000 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_missing_bos,
+  CAST(SUM(CASE WHEN t[-1] <> 1001 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_bad_eos,
+  CAST(SUM(CASE WHEN len(list_filter(t, x -> x = 1002))
+                 - (CASE WHEN t[1] = 1002 THEN 1 ELSE 0 END)
+                 - (CASE WHEN t[-1] = 1002 THEN 1 ELSE 0 END) > 0
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_pad_interior,
+  CAST(SUM(CASE WHEN len(list_filter(t, x -> x < 0 OR x > 1002)) > 0
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+FROM s GROUP BY source ORDER BY source
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_profile_lineitem": q02_profile_lineitem,
@@ -2890,6 +3115,9 @@ QUERIES = {
     "q54_bigram_merge": q54_bigram_merge,
     "q55_lsh_ann_exact": q55_lsh_ann_exact,
     "q56_ivf_ann_exact": q56_ivf_ann_exact,
+    "q57_semantic_dedup": q57_semantic_dedup,
+    "q58_url_blocklist": q58_url_blocklist,
+    "q59_sequence_structure": q59_sequence_structure,
 }
 
 ORACLES = {
@@ -2946,6 +3174,9 @@ ORACLES = {
     "q54_bigram_merge": Q54_SQL,
     "q55_lsh_ann_exact": Q55_SQL,
     "q56_ivf_ann_exact": Q56_SQL,
+    "q57_semantic_dedup": Q57_SQL,
+    "q58_url_blocklist": Q58_SQL,
+    "q59_sequence_structure": Q59_SQL,
     # q21/q32/q37: rows-only by design — approximate ANN top-k
     # (recall < 1 is intrinsic at honest params) and t-digest sketches
     # have no exact SQL twin.
