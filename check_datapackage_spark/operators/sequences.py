@@ -87,3 +87,66 @@ def structure_summary(
         cnt("pad_interior"),
         cnt("oov"),
     )
+
+
+def structure_checks(
+    column: str = "tokens",
+    bos: int = 0,
+    eos: int = 1,
+    pad: int = 2,
+    max_id: int = 2,
+):
+    """The four structural invariants as compiled checks, pluggable
+    into :func:`plans.validation.check_table` (batch, fused with every
+    other declared check into the single-scan violations plan) and
+    :func:`streaming.checks.streaming_violations` (the predicates are
+    stateless projections, so they run unchanged in append mode).
+
+    NULL arrays pass every structure check — ``required`` owns null
+    handling, same convention as every field constraint.
+    """
+    from ..compile import compile_invariant
+
+    t = F.col(column)
+    first = F.element_at(t, 1)
+    last = F.element_at(t, -1)
+    n_pad = F.size(F.filter(t, lambda x: x == F.lit(pad)))
+    interior_pads = (
+        n_pad - (first == pad).cast("int") - (last == pad).cast("int")
+    )
+    null_ok = t.isNull()
+    return [
+        compile_invariant(
+            name=f"{column}.bos_first",
+            ok=null_ok | (first == bos),
+            issue_type="structure",
+            message=f"sequence must start with BOS ({bos})",
+            column=column,
+            instance=first,
+        ),
+        compile_invariant(
+            name=f"{column}.eos_last",
+            ok=null_ok | (last == eos),
+            issue_type="structure",
+            message=f"sequence must end with EOS ({eos})",
+            column=column,
+            instance=last,
+        ),
+        compile_invariant(
+            name=f"{column}.no_interior_pad",
+            ok=null_ok | (interior_pads <= 0),
+            issue_type="structure",
+            message=f"PAD ({pad}) must not appear inside the sequence",
+            column=column,
+            instance=interior_pads,
+        ),
+        compile_invariant(
+            name=f"{column}.in_vocab",
+            ok=null_ok
+            | ~F.exists(t, lambda x: (x < F.lit(0)) | (x > F.lit(max_id))),
+            issue_type="structure",
+            message=f"token ids must be in [0, {max_id}]",
+            column=column,
+            instance=F.lit(None),
+        ),
+    ]

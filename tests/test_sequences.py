@@ -114,3 +114,63 @@ def test_semantic_dedup_only_within_cells(spark):
     # sum over cells of C(n,2), i.e. strictly fewer than C(40,2)
     n_pairs = out.count()
     assert 0 < n_pairs < 40 * 39 // 2
+
+
+def test_structure_checks_in_check_table(spark):
+    from check_datapackage_spark.operators.sequences import structure_checks
+    from check_datapackage_spark.plans.validation import violations_plan
+
+    BOS, EOS, PAD = 0, 1, 2
+    rows = [
+        (1, [BOS, 5, EOS]),   # clean
+        (2, [5, EOS]),        # missing bos
+        (3, [BOS, PAD, EOS]), # interior pad
+        (4, [BOS, 99, EOS]),  # oov (max_id 10)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<long>")
+    v = violations_plan(
+        df,
+        structure_checks("tokens", bos=BOS, eos=EOS, pad=PAD, max_id=10),
+        table_name="seqs",
+        row_key="doc_id",
+    )
+    got = {(r["row_key"], r["check"]) for r in v.collect()}
+    assert ("2", "tokens.bos_first") in got
+    assert ("3", "tokens.no_interior_pad") in got
+    assert ("4", "tokens.in_vocab") in got
+    assert not any(rk == "1" for rk, _ in got)
+
+
+def test_structure_checks_streaming(spark, tmp_path):
+    from check_datapackage_spark.operators.sequences import structure_checks
+    from check_datapackage_spark.streaming.checks import streaming_violations
+
+    BOS, EOS, PAD = 0, 1, 2
+    src = str(tmp_path / "seq_in")
+    spark.createDataFrame(
+        [(1, [BOS, 5, EOS]), (2, [5, EOS]), (3, [BOS, 5, PAD, 5, EOS])],
+        "doc_id long, tokens array<long>",
+    ).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = streaming_violations(
+        stream,
+        structure_checks("tokens", bos=BOS, eos=EOS, pad=PAD, max_id=10),
+        table_name="seqs",
+        row_key="doc_id",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("seq_struct")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["row_key"], r["check"])
+        for r in spark.sql("SELECT * FROM seq_struct").collect()
+    }
+    assert got == {("2", "tokens.bos_first"), ("3", "tokens.no_interior_pad")}
