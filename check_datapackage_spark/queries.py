@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .operators import cluster, decontam, dedup, drift, infer, multimodal, packing, referential, sampling, sequences, similarity, stats, text, uniqueness
+from .operators import cluster, decontam, dedup, diff, drift, infer, multimodal, packing, referential, sampling, sequences, similarity, stats, text, uniqueness
 from .operators.drift import bucket_sql
 from .plans.validation import violations_plan
 from .spec import CheckConfig, Exclusion, TableSpec
@@ -3058,6 +3058,88 @@ FROM s GROUP BY source ORDER BY source
 """
 
 
+def q60_snapshot_diff(spark, sf_dir):
+    """Snapshot-to-snapshot regression diff
+    (:func:`diff.snapshot_diff`): yesterday's orders vs a planted new
+    version (keys % 11 removed, % 13 re-keyed copies added, % 5 status
+    and % 7 price mutated — identical plants in both engines). ONE
+    key-partitioned full-outer join + ONE aggregation computes every
+    column's change count in the same pass; output is |columns| tidy
+    rows."""
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    k = F.col("o_orderkey")
+    modified = (
+        base.where(k % 11 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(k % 7 == 0, F.col("o_totalprice") + 1.0).otherwise(
+                F.col("o_totalprice")
+            ),
+        )
+        .withColumn(
+            "o_orderstatus",
+            F.when(k % 5 == 0, F.lit("X")).otherwise(F.col("o_orderstatus")),
+        )
+    )
+    added = base.where(k % 13 == 0).withColumn(
+        "o_orderkey", k + 10_000_000
+    )
+    new = modified.unionByName(added)
+    return diff.snapshot_diff(base, new, ["o_orderkey"]).orderBy("column")
+
+
+Q60_SQL = """
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate FROM orders),
+mod AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 5 = 0 THEN 'X' ELSE o_orderstatus END
+           AS o_orderstatus,
+         CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderdate
+  FROM base WHERE o_orderkey % 11 <> 0),
+added AS (
+  SELECT o_orderkey + 10000000 AS o_orderkey, o_orderstatus,
+         o_totalprice, o_orderdate
+  FROM base WHERE o_orderkey % 13 = 0),
+newt AS (SELECT * FROM mod UNION ALL SELECT * FROM added),
+j AS (
+  SELECT b.o_orderkey AS ko, n.o_orderkey AS kn,
+         b.o_orderstatus AS s_o, n.o_orderstatus AS s_n,
+         b.o_totalprice AS p_o, n.o_totalprice AS p_n,
+         b.o_orderdate AS d_o, n.o_orderdate AS d_n
+  FROM base b FULL OUTER JOIN newt n ON b.o_orderkey = n.o_orderkey),
+s AS (
+  SELECT
+    CAST(SUM(CASE WHEN ko IS NOT NULL AND kn IS NOT NULL
+              THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+    CAST(SUM(CASE WHEN ko IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+    CAST(SUM(CASE WHEN kn IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+    CAST(SUM(CASE WHEN ko IS NOT NULL AND kn IS NOT NULL
+                   AND s_o IS DISTINCT FROM s_n
+              THEN 1 ELSE 0 END) AS BIGINT) AS c_status,
+    CAST(SUM(CASE WHEN ko IS NOT NULL AND kn IS NOT NULL
+                   AND p_o IS DISTINCT FROM p_n
+              THEN 1 ELSE 0 END) AS BIGINT) AS c_price,
+    CAST(SUM(CASE WHEN ko IS NOT NULL AND kn IS NOT NULL
+                   AND d_o IS DISTINCT FROM d_n
+              THEN 1 ELSE 0 END) AS BIGINT) AS c_date
+  FROM j)
+SELECT * FROM (
+  SELECT 'o_orderstatus' AS "column", n_common, n_added, n_removed,
+         c_status AS n_changed FROM s
+  UNION ALL
+  SELECT 'o_totalprice', n_common, n_added, n_removed, c_price FROM s
+  UNION ALL
+  SELECT 'o_orderdate', n_common, n_added, n_removed, c_date FROM s)
+ORDER BY "column"
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_profile_lineitem": q02_profile_lineitem,
@@ -3118,6 +3200,7 @@ QUERIES = {
     "q57_semantic_dedup": q57_semantic_dedup,
     "q58_url_blocklist": q58_url_blocklist,
     "q59_sequence_structure": q59_sequence_structure,
+    "q60_snapshot_diff": q60_snapshot_diff,
 }
 
 ORACLES = {
@@ -3177,6 +3260,7 @@ ORACLES = {
     "q57_semantic_dedup": Q57_SQL,
     "q58_url_blocklist": Q58_SQL,
     "q59_sequence_structure": Q59_SQL,
+    "q60_snapshot_diff": Q60_SQL,
     # q21/q32/q37: rows-only by design — approximate ANN top-k
     # (recall < 1 is intrinsic at honest params) and t-digest sketches
     # have no exact SQL twin.

@@ -1,0 +1,60 @@
+"""Unit tests for operators/diff.py snapshot_diff."""
+
+from __future__ import annotations
+
+from check_datapackage_spark.operators import diff
+
+
+def test_snapshot_diff_counts(spark):
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, None, 40.0)],
+        "id long, status string, price double",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "a", 10.0),    # unchanged
+            (2, "X", 20.0),    # status changed
+            (4, None, 41.0),   # price changed; null==null not a change
+            (5, "e", 50.0),    # added
+        ],  # id 3 removed
+        "id long, status string, price double",
+    )
+    out = {
+        r["column"]: r.asDict()
+        for r in diff.snapshot_diff(old, new, ["id"]).collect()
+    }
+    assert set(out) == {"status", "price"}
+    for c in out.values():
+        assert c["n_common"] == 3
+        assert c["n_added"] == 1
+        assert c["n_removed"] == 1
+    assert out["status"]["n_changed"] == 1
+    assert out["price"]["n_changed"] == 1
+
+
+def test_snapshot_diff_null_transitions(spark):
+    old = spark.createDataFrame(
+        [(1, "a"), (2, None)], "id long, v string"
+    )
+    new = spark.createDataFrame(
+        [(1, None), (2, "b")], "id long, v string"
+    )
+    (row,) = diff.snapshot_diff(old, new, ["id"]).collect()
+    # null->value and value->null BOTH count as changes
+    assert row["n_changed"] == 2 and row["n_common"] == 2
+
+
+def test_snapshot_diff_compound_key_and_subset_cols(spark):
+    old = spark.createDataFrame(
+        [(1, 1, "x", 5), (1, 2, "y", 6)], "a long, b long, v string, w long"
+    )
+    new = spark.createDataFrame(
+        [(1, 1, "x", 7), (1, 2, "z", 6)], "a long, b long, v string, w long"
+    )
+    out = {
+        r["column"]: r["n_changed"]
+        for r in diff.snapshot_diff(
+            old, new, ["a", "b"], compare_cols=["v"]
+        ).collect()
+    }
+    assert out == {"v": 1}
