@@ -110,3 +110,66 @@ def minmax(df: DataFrame, column: str, by: Optional[str] = None) -> DataFrame:
         F.count(column).alias("n_value"),
     ]
     return df.groupBy(by).agg(*aggs) if by else df.agg(*aggs)
+
+
+def heavy_hitters(
+    df: DataFrame,
+    columns: Sequence[str],
+    k: int = 3,
+) -> DataFrame:
+    """Exact top-k most frequent values per column with their share of
+    all rows — the skew profile a 100 TB join/agg plan needs BEFORE it
+    runs (a 50% hot key means salting or AQE skew-join; this is how
+    you find out).
+
+    One pass over the data: every row explodes into |columns|
+    (column, value) pairs map-side, ONE groupBy(column, value) with
+    map-side combine does the heavy lifting, and the top-k window runs
+    over the already-aggregated counts only (|distinct values| rows,
+    not |rows|). Values are stringified so mixed-type columns share
+    one tidy relation; NULLs rank like any other value.
+
+    At extreme cardinality (a unique-id column) the aggregated state
+    is the distinct-value count — exclude such columns or swap in a
+    count-min sketch; for the categorical/enum columns skew profiling
+    targets, the combine collapses everything map-side.
+    """
+    from pyspark.sql import Window as W
+
+    pairs = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col(c).cast("string").alias("value"),
+                    )
+                    for c in columns
+                ]
+            )
+        ).alias("p")
+    ).select("p.*")
+    counts = pairs.groupBy("column", "value").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = W.partitionBy("column").orderBy(
+        F.desc("cnt"), F.col("value").asc_nulls_last()
+    )
+    # per-column total == row count (each row contributes exactly one
+    # pair per column), so share needs NO extra scan: a window sum
+    # over the already-aggregated counts
+    wt = W.partitionBy("column")
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .withColumn("total", F.sum("cnt").over(wt))
+        .where(F.col("rank") <= k)
+        .select(
+            "column",
+            "value",
+            "cnt",
+            "rank",
+            F.round(F.col("cnt") / F.col("total").cast("double"), 6).alias(
+                "share"
+            ),
+        )
+    )

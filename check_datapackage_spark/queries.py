@@ -3140,6 +3140,41 @@ ORDER BY "column"
 """
 
 
+def q61_heavy_hitters(spark, sf_dir):
+    """Per-column skew profile (:func:`stats.heavy_hitters`): exact
+    top-3 values with row share over lineitem's categorical/low-card
+    columns — the diagnostic that decides salting/AQE-skew-join before
+    a 100 TB join runs. One map-side explode into (column, value)
+    pairs, ONE combine-backed groupBy, window top-k over aggregated
+    counts only; share from a window sum (no second scan)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return stats.heavy_hitters(
+        li, ["l_returnflag", "l_linestatus", "l_linenumber"], k=3
+    ).orderBy("column", "rank")
+
+
+Q61_SQL = """
+WITH p AS (
+  SELECT 'l_returnflag' AS "column",
+         CAST(l_returnflag AS VARCHAR) AS value FROM lineitem
+  UNION ALL
+  SELECT 'l_linestatus', CAST(l_linestatus AS VARCHAR) FROM lineitem
+  UNION ALL
+  SELECT 'l_linenumber', CAST(l_linenumber AS VARCHAR) FROM lineitem),
+c AS (SELECT "column", value, COUNT(*) AS cnt FROM p GROUP BY 1, 2),
+r AS (
+  SELECT "column", value, cnt,
+         CAST(ROW_NUMBER() OVER (PARTITION BY "column"
+                                 ORDER BY cnt DESC, value ASC NULLS LAST)
+              AS INTEGER) AS rank,
+         SUM(cnt) OVER (PARTITION BY "column") AS total
+  FROM c)
+SELECT "column", value, CAST(cnt AS BIGINT) AS cnt, rank,
+       ROUND(cnt / CAST(total AS DOUBLE), 6) AS share
+FROM r WHERE rank <= 3 ORDER BY "column", rank
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_profile_lineitem": q02_profile_lineitem,
@@ -3201,6 +3236,7 @@ QUERIES = {
     "q58_url_blocklist": q58_url_blocklist,
     "q59_sequence_structure": q59_sequence_structure,
     "q60_snapshot_diff": q60_snapshot_diff,
+    "q61_heavy_hitters": q61_heavy_hitters,
 }
 
 ORACLES = {
@@ -3261,6 +3297,7 @@ ORACLES = {
     "q58_url_blocklist": Q58_SQL,
     "q59_sequence_structure": Q59_SQL,
     "q60_snapshot_diff": Q60_SQL,
+    "q61_heavy_hitters": Q61_SQL,
     # q21/q32/q37: rows-only by design — approximate ANN top-k
     # (recall < 1 is intrinsic at honest params) and t-digest sketches
     # have no exact SQL twin.

@@ -58,3 +58,18 @@ def test_snapshot_diff_compound_key_and_subset_cols(spark):
         ).collect()
     }
     assert out == {"v": 1}
+
+
+def test_heavy_hitters_skew_profile(spark):
+    from check_datapackage_spark.operators import stats
+
+    rows = [("hot", i % 2) for i in range(8)] + [("cold", 99)] + [(None, 7)]
+    df = spark.createDataFrame(rows, "k string, v long")
+    out = stats.heavy_hitters(df, ["k", "v"], k=2).collect()
+    by = {(r["column"], r["rank"]): r for r in out}
+    top_k = by[("k", 1)]
+    assert top_k["value"] == "hot" and top_k["cnt"] == 8
+    assert abs(top_k["share"] - 0.8) < 1e-9
+    # NULL ranks like any other value (1 occurrence, ties broken by value)
+    assert by[("k", 2)]["cnt"] == 1
+    assert by[("v", 1)]["cnt"] == 4 and by[("v", 2)]["cnt"] == 4
