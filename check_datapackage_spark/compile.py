@@ -811,6 +811,35 @@ def compile_json_schema_checks(
                             absent | not_array | F.forall(arr_v, _ep)
                         )),
                     )
+                if isinstance(items, dict) and (set(items) - {"type"}):
+                    # FULL Draft-7 items sub-schema (enum/pattern/
+                    # ranges/nested combinators/... per element) via
+                    # the recursive core — type alone keeps its
+                    # dedicated message above
+                    rest = {k: v2 for k, v2 in items.items() if k != "type"}
+
+                    def items_ok(_rest, _path=path):
+                        def ok_of(vv):
+                            sub = F.try_variant_get(vv, _path, "variant")
+                            return (
+                                col.isNull()
+                                | sub.isNull()
+                                | F.coalesce(
+                                    _schema_pred(
+                                        {"items": _rest}, vv, _path
+                                    ),
+                                    F.lit(False),
+                                )
+                            )
+
+                        return ok_of
+
+                    add(
+                        f"{kprefix}items",
+                        "items",
+                        f"{dotted} items do not match the declared item schema",
+                        items_ok(rest),
+                    )
             # nested Draft-7 combinators of sub-schemas — each compiles
             # to ONE fused predicate via the recursive _schema_pred, so
             # an anyOf of 4 alternatives is still zero extra scans.
@@ -1002,6 +1031,36 @@ def compile_json_schema_checks(
             )
 
         add("uniqueItems", "uniqueItems", "array items are not unique", root_unique_ok)
+
+    root_items = js.get("items")
+    if (
+        isinstance(root_items, dict)
+        and actual_type != "array"
+        and (set(root_items) - {"required"})
+    ):
+        # full root-level items sub-schema over the JSON-string path
+        # (actual array columns keep the dedicated struct-based
+        # items.required block below — variant parse needs JSON text)
+        rest = {k: v2 for k, v2 in root_items.items() if k != "required"}
+
+        def root_items_ok(_rest):
+            def ok_of(vv):
+                return (
+                    col.isNull()
+                    | vv.isNull()
+                    | F.coalesce(
+                        _schema_pred({"items": _rest}, vv, "$"), F.lit(False)
+                    )
+                )
+
+            return ok_of
+
+        add(
+            "items",
+            "items",
+            "array items do not match the declared item schema",
+            root_items_ok(rest),
+        )
 
     items_required = (js.get("items") or {}).get("required", [])
     if items_required:

@@ -742,3 +742,88 @@ def test_json_schema_extended_keywords(spark):
         ("9", "props.jsonSchema.properties.c.if"),
         ("11", "props.jsonSchema.properties.n.multipleOf"),
     }
+
+
+def test_json_schema_full_items_subschema(spark):
+    """items with keywords beyond type (enum/pattern) route through the
+    recursive _schema_pred core — previously silently ignored."""
+    rows = [
+        (1, '["AA", "BB"]'),   # pass
+        (2, '["AA", "xx"]'),   # pattern fails on one element
+        (3, '["AA", 5]'),      # items.type fails
+        (4, '[]'),             # vacuous forall → pass
+        (5, None),             # null → pass
+    ]
+    df = spark.createDataFrame(rows, "id int, tags string")
+    rows_out = _violations(
+        df,
+        {
+            "name": "t",
+            "schema": {
+                "primaryKey": ["id"],
+                "fields": [
+                    {
+                        "name": "tags",
+                        "type": "string",
+                        "constraints": {
+                            "jsonSchema": {
+                                "type": "array",
+                                "items": {
+                                    "type": "string",
+                                    "pattern": "^[A-Z]{2}$",
+                                },
+                            }
+                        },
+                    }
+                ],
+            },
+        },
+    )
+    got = {(r["row_key"], r["type"]) for r in rows_out}
+    assert ("2", "items") in got
+    assert ("3", "items") in got or ("3", "type") in got
+    assert not any(rk in ("1", "4", "5") for rk, _ in got)
+
+
+def test_json_schema_property_items_enum(spark):
+    """Property-level items with an enum sub-schema."""
+    rows = [
+        (1, '{"sizes": ["S", "M"]}'),
+        (2, '{"sizes": ["S", "XXL"]}'),
+        (3, '{"sizes": "not-an-array"}'),  # not array → items vacuous
+        (4, '{}'),                          # absent → vacuous
+    ]
+    df = spark.createDataFrame(rows, "id int, meta string")
+    rows_out = _violations(
+        df,
+        {
+            "name": "t",
+            "schema": {
+                "primaryKey": ["id"],
+                "fields": [
+                    {
+                        "name": "meta",
+                        "type": "string",
+                        "constraints": {
+                            "jsonSchema": {
+                                "type": "object",
+                                "properties": {
+                                    "sizes": {
+                                        "type": "array",
+                                        "items": {
+                                            "enum": ["S", "M", "L"]
+                                        },
+                                    }
+                                },
+                            }
+                        },
+                    }
+                ],
+            },
+        },
+    )
+    got = {(r["row_key"], r["type"]) for r in rows_out}
+    assert ("2", "items") in got
+    # row 3 fails the property type check, not items
+    assert ("3", "type") in got and ("3", "items") not in got
+    assert not any(rk in ("1", "4") for rk, _ in got)
