@@ -309,8 +309,42 @@ _JS_SUPPORTED = frozenset(
      "minLength", "maxLength", "minItems", "maxItems", "uniqueItems",
      "items", "contains", "properties", "required",
      "minProperties", "maxProperties", "additionalProperties",
+     "propertyNames", "dependencies",
      "anyOf", "oneOf", "allOf", "not", "if", "then", "else"}
 )
+
+
+def _property_name_pred(pn_schema: dict):
+    """1-arg element predicate for Draft-7 ``propertyNames``: keys are
+    plain strings, so only string-applicable keywords make sense —
+    pattern / minLength / maxLength / enum / const. Others raise."""
+    allowed = {"pattern", "minLength", "maxLength", "enum", "const", "type"}
+    bad = set(pn_schema) - allowed - _JS_ANNOTATIONS
+    if bad:
+        raise ValueError(
+            f"propertyNames supports only string keywords, got {sorted(bad)}"
+        )
+    members = (
+        pn_schema.get("enum")
+        if "enum" in pn_schema
+        else ([pn_schema["const"]] if "const" in pn_schema else None)
+    )
+
+    def pred(k: Column) -> Column:
+        # JSON keys are always strings: type 'string' is vacuous,
+        # any other declared type can never hold
+        p = F.lit(pn_schema.get("type", "string") == "string")
+        if "pattern" in pn_schema:
+            p = p & k.rlike(pn_schema["pattern"])
+        if "minLength" in pn_schema:
+            p = p & (F.length(k) >= F.lit(int(pn_schema["minLength"])))
+        if "maxLength" in pn_schema:
+            p = p & (F.length(k) <= F.lit(int(pn_schema["maxLength"])))
+        if members is not None:
+            p = p & k.isin([m for m in members if isinstance(m, str)])
+        return p
+
+    return pred
 
 
 def _enum_member_pred(values, tag: Column, dbl: Column, sstr: Column) -> Column:
@@ -346,10 +380,12 @@ def _schema_pred(schema: dict, base: Column, path: str) -> Column:
     top-level compile is (e.g. ``pattern`` is vacuous on non-strings).
     Beyond the top-level compile's vocabulary it adds ``const``,
     ``multipleOf``, ``contains``, ``minProperties``/``maxProperties``,
-    boolean ``additionalProperties`` and ``if``/``then``/``else``.
-    Unsupported keywords (``$ref``, ``patternProperties``,
-    ``dependencies``, schema-valued ``additionalProperties``, …) and
-    non-scalar ``enum``/``const`` members raise at compile time — a
+    boolean ``additionalProperties``, ``propertyNames`` (string
+    keywords over ``json_object_keys``), ``dependencies`` (both the
+    property-list and the sub-schema form) and ``if``/``then``/
+    ``else``. Unsupported keywords (``$ref``, ``patternProperties``,
+    schema-valued ``additionalProperties``, …) and non-scalar
+    ``enum``/``const`` members raise at compile time — a
     silently-ignored keyword would validate wrongly, which is worse
     than refusing."""
     for key in schema:
@@ -435,7 +471,8 @@ def _schema_pred(schema: dict, base: Column, path: str) -> Column:
     obj_kw = any(
         k in schema
         for k in ("required", "properties", "minProperties",
-                  "maxProperties", "additionalProperties")
+                  "maxProperties", "additionalProperties",
+                  "propertyNames", "dependencies")
     )
     if obj_kw:
         keys = F.json_object_keys(sub.cast("string"))
@@ -475,6 +512,38 @@ def _schema_pred(schema: dict, base: Column, path: str) -> Column:
                 "additionalProperties only supports the boolean form "
                 "inside combinator sub-schemas"
             )
+        pn = schema.get("propertyNames")
+        if isinstance(pn, dict) and pn:
+            preds.append(
+                keys.isNull() | F.forall(keys, _property_name_pred(pn))
+            )
+        deps = schema.get("dependencies")
+        if isinstance(deps, dict):
+            for dep_key, dep in deps.items():
+                present = ~keys.isNull() & F.array_contains(
+                    keys, F.lit(dep_key)
+                )
+                if isinstance(dep, (list, tuple)):
+                    # property-dependency form: dep_key present ⇒
+                    # every listed property present
+                    need = F.lit(True)
+                    for d in dep:
+                        need = need & F.array_contains(keys, F.lit(d))
+                    preds.append(~present | need)
+                elif isinstance(dep, dict):
+                    # schema-dependency form: dep_key present ⇒ the
+                    # whole value satisfies the sub-schema
+                    preds.append(
+                        ~present
+                        | F.coalesce(
+                            _schema_pred(dep, base, path), F.lit(False)
+                        )
+                    )
+                else:
+                    raise ValueError(
+                        "dependencies values must be a property list "
+                        f"or a sub-schema, got {dep!r}"
+                    )
 
     # if/then/else: (P(if) → P(then)) ∧ (¬P(if) → P(else))
     if isinstance(schema.get("if"), dict):
@@ -916,6 +985,8 @@ def compile_json_schema_checks(
                 ("maxProperties", "has more properties than the maximum"),
                 ("additionalProperties",
                  "has properties outside the declared set"),
+                ("propertyNames", "has property names violating the schema"),
+                ("dependencies", "violates a property dependency"),
                 ("if", "violates the conditional schema"),
             ):
                 if kw not in sub_schema:

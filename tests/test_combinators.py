@@ -827,3 +827,104 @@ def test_json_schema_property_items_enum(spark):
     # row 3 fails the property type check, not items
     assert ("3", "type") in got and ("3", "items") not in got
     assert not any(rk in ("1", "4") for rk, _ in got)
+
+
+def test_json_schema_property_names(spark):
+    rows = [
+        (1, '{"ab": 1, "cd": 2}'),   # pass
+        (2, '{"ab": 1, "BAD": 2}'),  # uppercase key
+        (3, '{}'),                    # empty → vacuous
+        (4, 'not json'),              # invalid → vacuous (type check owns)
+    ]
+    df = spark.createDataFrame(rows, "id int, meta string")
+    rows_out = _violations(
+        df,
+        {
+            "name": "t",
+            "schema": {
+                "primaryKey": ["id"],
+                "fields": [
+                    {
+                        "name": "meta",
+                        "type": "string",
+                        "constraints": {
+                            "jsonSchema": {
+                                "type": "object",
+                                "properties": {
+                                    "conf": {
+                                        "type": "object",
+                                        "propertyNames": {
+                                            "pattern": "^[a-z]+$"
+                                        },
+                                    }
+                                },
+                                "anyOf": [
+                                    {"propertyNames": {"pattern": "^[a-z]+$"}}
+                                ],
+                            }
+                        },
+                    }
+                ],
+            },
+        },
+    )
+    got = {(r["row_key"], r["type"]) for r in rows_out}
+    assert ("2", "anyOf") in got
+    # row 4 fails the top-level type check (not an object) — the
+    # propertyNames combinator itself must stay vacuous there
+    assert not any(
+        rk in ("1", "3", "4") and t == "anyOf" for rk, t in got
+    )
+    assert ("4", "type") in got
+
+
+def test_json_schema_dependencies(spark):
+    rows = [
+        (1, '{"credit": "visa", "cvv": "123"}'),   # pass
+        (2, '{"credit": "visa"}'),                  # missing dependent
+        (3, '{"cash": true}'),                      # dep key absent → pass
+        (4, '{"credit": "visa", "cvv": 5}'),        # schema-dep: cvv wrong type
+    ]
+    df = spark.createDataFrame(rows, "id int, pay string")
+    rows_out = _violations(
+        df,
+        {
+            "name": "t",
+            "schema": {
+                "primaryKey": ["id"],
+                "fields": [
+                    {
+                        "name": "pay",
+                        "type": "string",
+                        "constraints": {
+                            "jsonSchema": {
+                                "type": "object",
+                                "properties": {
+                                    "credit": {
+                                        "type": "string",
+                                        "dependencies": {},
+                                    }
+                                },
+                                "allOf": [
+                                    {"dependencies": {"credit": ["cvv"]}},
+                                    {
+                                        "dependencies": {
+                                            "credit": {
+                                                "properties": {
+                                                    "cvv": {"type": "string"}
+                                                }
+                                            }
+                                        }
+                                    },
+                                ],
+                            }
+                        },
+                    }
+                ],
+            },
+        },
+    )
+    got = {(r["row_key"], r["type"]) for r in rows_out}
+    assert ("2", "allOf") in got
+    assert ("4", "allOf") in got
+    assert not any(rk in ("1", "3") for rk, _ in got)
