@@ -3175,6 +3175,112 @@ FROM r WHERE rank <= 3 ORDER BY "column", rank
 """
 
 
+def q62_json_schema_propnames_deps(spark, sf_dir):
+    """The round-4 Draft-7 additions oracle-checked: ``propertyNames``
+    (string keywords over json_object_keys, per key via forall) and
+    ``dependencies`` in BOTH forms — property-list (credit ⇒ cvv
+    present) and sub-schema (debit ⇒ pin is a string, recursive
+    through _schema_pred). Corruption planted deterministically from
+    event_id; the DuckDB twin uses json_keys()/json_type()."""
+    from .plans.validation import check_table
+
+    ev = _t(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    staged = ev.select(
+        "event_id",
+        F.when(eid % 7 == 0, F.lit('{"conf": {"ab": 1, "BAD": 2}}'))
+        .when(eid % 11 == 0, F.lit('{"payment": {"credit": "visa"}}'))
+        .when(eid % 13 == 0, F.lit('{"payment": {"debit": "x", "pin": 5}}'))
+        .otherwise(
+            F.lit(
+                '{"conf": {"ab": 1}, '
+                '"payment": {"credit": "v", "cvv": "123"}}'
+            )
+        )
+        .alias("props"),
+    )
+    spec = TableSpec.from_dict(
+        {
+            "name": "events_js_pn",
+            "schema": {
+                "fields": [
+                    {
+                        "name": "props",
+                        "type": "string",
+                        "constraints": {
+                            "jsonSchema": {
+                                "type": "object",
+                                "properties": {
+                                    "conf": {
+                                        "propertyNames": {
+                                            "pattern": "^[a-z]+$"
+                                        }
+                                    },
+                                    "payment": {
+                                        "dependencies": {
+                                            "credit": ["cvv"],
+                                            "debit": {
+                                                "properties": {
+                                                    "pin": {"type": "string"}
+                                                }
+                                            },
+                                        }
+                                    },
+                                },
+                            }
+                        },
+                    }
+                ],
+                "primaryKey": ["event_id"],
+            },
+        }
+    )
+    res = check_table(staged, spec)
+    return _sorted(res.violations, "jsonpath", "type", "check")
+
+
+Q62_SQL = """
+WITH s AS (
+  SELECT event_id,
+         CASE WHEN event_id % 7 = 0 THEN '{"conf": {"ab": 1, "BAD": 2}}'
+              WHEN event_id % 11 = 0 THEN '{"payment": {"credit": "visa"}}'
+              WHEN event_id % 13 = 0
+                THEN '{"payment": {"debit": "x", "pin": 5}}'
+              ELSE
+       '{"conf": {"ab": 1}, "payment": {"credit": "v", "cvv": "123"}}'
+         END AS props
+  FROM events),
+viol AS (
+  SELECT event_id, props, 'propertyNames' AS type,
+         'conf has property names violating the schema' AS message,
+         'props.jsonSchema.properties.conf.propertyNames' AS "check"
+  FROM s
+  WHERE json_type(props, '$.conf') = 'OBJECT'
+    AND len(list_filter(json_keys(props, '$.conf'),
+                        k -> NOT regexp_matches(k, '^[a-z]+$'))) > 0
+  UNION ALL
+  SELECT event_id, props, 'dependencies',
+         'payment violates a property dependency',
+         'props.jsonSchema.properties.payment.dependencies'
+  FROM s
+  WHERE json_type(props, '$.payment') = 'OBJECT'
+    AND ((list_contains(json_keys(props, '$.payment'), 'credit')
+          AND NOT list_contains(json_keys(props, '$.payment'), 'cvv'))
+         OR (list_contains(json_keys(props, '$.payment'), 'debit')
+             AND json_type(props, '$.payment.pin') IS NOT NULL
+             AND json_type(props, '$.payment.pin') <> 'VARCHAR'))
+)
+SELECT '$.events_js_pn[' || CAST(event_id AS VARCHAR) || '].props'
+         AS jsonpath,
+       type, message, props AS instance, "check",
+       'props' AS "column",
+       CAST(event_id AS VARCHAR) AS row_key,
+       CAST(NULL AS VARCHAR) AS partition
+FROM viol
+ORDER BY jsonpath, type, "check"
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_profile_lineitem": q02_profile_lineitem,
@@ -3237,6 +3343,7 @@ QUERIES = {
     "q59_sequence_structure": q59_sequence_structure,
     "q60_snapshot_diff": q60_snapshot_diff,
     "q61_heavy_hitters": q61_heavy_hitters,
+    "q62_json_schema_propnames_deps": q62_json_schema_propnames_deps,
 }
 
 ORACLES = {
@@ -3298,6 +3405,7 @@ ORACLES = {
     "q59_sequence_structure": Q59_SQL,
     "q60_snapshot_diff": Q60_SQL,
     "q61_heavy_hitters": Q61_SQL,
+    "q62_json_schema_propnames_deps": Q62_SQL,
     # q21/q32/q37: rows-only by design — approximate ANN top-k
     # (recall < 1 is intrinsic at honest params) and t-digest sketches
     # have no exact SQL twin.
