@@ -279,18 +279,32 @@ def _json_type_pred(tag: Column, dbl: Column, declared) -> Column:
 
 def _unique_items_pred(arr_v: Column) -> Column:
     """Draft-7 ``uniqueItems`` over an array<variant>: canonicalize each
-    element as ``<variant-schema>|<json-text>`` — the type tag keeps
-    ``1`` and ``"1"`` distinct (both stringify to ``1``), the JSON text
-    makes objects/arrays comparable — then compare the distinct size.
-    Duplicate JSON nulls canonicalize to SQL NULL on both sides of the
-    concat, which ``array_distinct`` also collapses, so ``[null,null]``
-    is correctly non-unique."""
+    element as ``<kind>|<text>`` then compare the distinct size.
+
+    Numbers canonicalize by VALUE (``num|<double>``) so ``[1, 1.0]``
+    is correctly non-unique (jsonschema: ``1 == 1.0``, verified
+    against Draft7Validator), while ``1`` vs ``"1"`` stay distinct
+    (``num|1.0`` vs ``STRING|1``) and booleans never equal numbers.
+    Objects/arrays compare by JSON text — mixed int/float duplicates
+    NESTED inside them ([[1]] vs [[1.0]]) still compare unequal, a
+    documented edge of text canonicalization. Duplicate JSON nulls
+    canonicalize to SQL NULL on both sides of the concat, which
+    ``array_distinct`` also collapses, so ``[null,null]`` is correctly
+    non-unique."""
     from .operators.text import let_col
 
-    canon = F.transform(
-        arr_v,
-        lambda x: F.concat(F.schema_of_variant(x), F.lit("|"), x.cast("string")),
-    )
+    def elem_canon(x: Column) -> Column:
+        tag = _variant_type_tag(x)
+        num = tag.isin("integer", "number")
+        return F.concat(
+            F.when(num, F.lit("num")).otherwise(F.schema_of_variant(x)),
+            F.lit("|"),
+            F.when(
+                num, F.try_variant_get(x, "$", "double").cast("string")
+            ).otherwise(x.cast("string")),
+        )
+
+    canon = F.transform(arr_v, elem_canon)
     # let-bound: canon is referenced twice; unbound it would
     # re-canonicalize the whole array per reference
     return let_col(canon, lambda c: F.size(c) == F.size(F.array_distinct(c)))
