@@ -123,3 +123,53 @@ def test_unsupported_keywords_raise(spark):
     ):
         with pytest.raises(ValueError):
             _schema_pred(bad, v, "$")
+
+
+def _rand_values(seed: int = 42, n: int = 80) -> list[str]:
+    """Deterministic pseudo-random JSON values, depth <= 2 — scalars,
+    arrays and objects over a small alphabet so collisions (duplicate
+    items, repeated keys-domains) actually occur."""
+    import random
+
+    rng = random.Random(seed)
+    scalars = [1, 2, -3, 0, 1.5, 2.0, True, False, None,
+               "a", "ab", "A", "S", "M", "x", "1", ""]
+
+    def scalar():
+        return rng.choice(scalars)
+
+    def value(depth: int):
+        kind = rng.random()
+        if depth >= 2 or kind < 0.5:
+            return scalar()
+        if kind < 0.75:
+            return [value(depth + 1) for _ in range(rng.randint(0, 4))]
+        keys = rng.sample(["a", "b", "ab", "cd", "credit", "cvv", "BAD"],
+                          k=rng.randint(0, 3))
+        return {k: value(depth + 1) for k in keys}
+
+    return [json.dumps(value(0)) for _ in range(n)]
+
+
+def test_schema_pred_matches_draft7validator_fuzz(spark):
+    values = _rand_values()
+    df = spark.createDataFrame([(v,) for v in values], "j string")
+    v = F.try_parse_json(F.col("j"))
+    cols = [
+        F.coalesce(_schema_pred(s, v, "$"), F.lit(False)).alias(f"s{i}")
+        for i, s in enumerate(SCHEMAS)
+    ]
+    rows = df.select(F.col("j"), *cols).collect()
+    mismatches = []
+    for r in rows:
+        inst = json.loads(r["j"])
+        for i, s in enumerate(SCHEMAS):
+            expected = Draft7Validator(s).is_valid(inst)
+            if r[f"s{i}"] != expected:
+                mismatches.append(
+                    {"value": r["j"], "schema": s,
+                     "jsonschema": expected, "spark": r[f"s{i}"]}
+                )
+    assert not mismatches, f"{len(mismatches)} cells diverge: " + json.dumps(
+        mismatches[:10], default=str
+    )
