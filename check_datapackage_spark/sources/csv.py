@@ -208,3 +208,45 @@ def read_csv_typed(
         .csv(path)
     )
     return cast_table(raw, spec)
+
+
+def read_jsonl_typed(
+    spark: SparkSession,
+    path: str,
+    spec: TableSpec,
+    columns: Optional[list[str]] = None,
+) -> DataFrame:
+    """Typed JSONL (newline-delimited JSON) reader — same two-stage
+    recipe as :func:`read_csv_typed`: read every declared field as a
+    plain string (Spark's JSON reader stringifies scalars when the
+    schema says string, so ``{"a": 1}`` lands as ``"1"``), then
+    stage missingValues and regex-guard-cast per the spec. No
+    inference pass, no second scan; the cast projection fuses into the
+    scan. ``columns`` overrides the field set when the spec declares a
+    subset of the physical keys."""
+    names = columns if columns is not None else [f.name for f in spec.fields]
+    schema = T.StructType(
+        [T.StructField(n, T.StringType(), True) for n in names]
+    )
+    raw = spark.read.schema(schema).option("mode", "PERMISSIVE").json(path)
+    return cast_table(raw, spec)
+
+
+def read_jsonl_stream_typed(
+    spark: SparkSession,
+    path: str,
+    spec: TableSpec,
+    columns: Optional[list[str]] = None,
+    max_files_per_trigger: Optional[int] = None,
+) -> DataFrame:
+    """Streaming twin of :func:`read_jsonl_typed`: watch a directory
+    for JSONL files; every micro-batch lands staged + typed, ready for
+    streaming_violations."""
+    names = columns if columns is not None else [f.name for f in spec.fields]
+    schema = T.StructType(
+        [T.StructField(n, T.StringType(), True) for n in names]
+    )
+    reader = spark.readStream.schema(schema).option("mode", "PERMISSIVE")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return cast_table(reader.json(path), spec)

@@ -117,3 +117,68 @@ def test_read_csv_stream_typed(spark, tmp_path):
     assert rows[1]["price"] == 1.5 and rows[1]["ok"] is True
     assert rows[None]["price"] is None  # 'oops' → NULL, NA id → NULL
     assert rows[None]["ok"] is False and rows[None]["day"] is None
+
+
+def test_read_jsonl_typed(spark, tmp_path):
+    from check_datapackage_spark.sources.csv import read_jsonl_typed
+    from check_datapackage_spark.spec import TableSpec
+
+    p = tmp_path / "d.jsonl"
+    p.write_text(
+        '{"id": 1, "price": 2.5, "ok": true, "day": "2024-01-02"}\n'
+        '{"id": "x", "price": "", "ok": "no", "day": "bad"}\n'
+        '{"id": 3, "price": 1e3, "ok": 0, "day": "2024-02-03"}\n'
+    )
+    spec = TableSpec.from_dict(
+        {
+            "name": "d",
+            "schema": {
+                "fields": [
+                    {"name": "id", "type": "integer"},
+                    {"name": "price", "type": "number"},
+                    {"name": "ok", "type": "boolean"},
+                    {"name": "day", "type": "date"},
+                ]
+            },
+        }
+    )
+    rows = {
+        r["id"]: r.asDict()
+        for r in read_jsonl_typed(spark, str(p), spec).collect()
+    }
+    assert rows[1]["price"] == 2.5 and rows[1]["ok"] is True
+    assert str(rows[1]["day"]) == "2024-01-02"
+    # row 2: id/day lexically invalid, price missing-staged -> NULL;
+    # "no" IS a Table Schema boolean false
+    assert None in rows
+    assert all(rows[None][c] is None for c in ("id", "price", "day"))
+    assert rows[None]["ok"] is False
+    assert rows[3]["price"] == 1000.0 and rows[3]["ok"] is False
+
+
+def test_read_jsonl_stream_typed(spark, tmp_path):
+    from check_datapackage_spark.sources.csv import read_jsonl_stream_typed
+    from check_datapackage_spark.spec import TableSpec
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.jsonl").write_text('{"id": 1}\n{"id": "bad"}\n')
+    spec = TableSpec.from_dict(
+        {"name": "d", "schema": {"fields": [{"name": "id", "type": "integer"}]}}
+    )
+    out = read_jsonl_stream_typed(spark, str(src), spec)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("jsonl_typed")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(
+        [r["id"] for r in spark.sql("SELECT * FROM jsonl_typed").collect()],
+        key=lambda x: (x is None, x),
+    )
+    assert got == [1, None]
