@@ -207,3 +207,52 @@ def test_token_histogram_shuffles_buckets_not_tokens(spark, sf_dir):
     udf_pos = max(p.find("ArrowEvalPython"), p.find("BatchEvalPython"))
     assert p.index("Generate") < udf_pos, p
     assert p.count("HashAggregate") >= 2, p
+
+
+def test_snapshot_diff_one_join_one_aggregate(spark, sf_dir):
+    """q60's shape: exactly ONE join and ONE aggregation compute every
+    column's change count — no per-column re-scan."""
+    from check_datapackage_spark.operators import diff
+
+    old = load(spark, sf_dir, "orders")
+    new = old.limit(100)
+    p = plan_of(diff.snapshot_diff(old, new, ["o_orderkey"]))
+    n_joins = p.count("SortMergeJoin") + p.count("BroadcastHashJoin") + p.count(
+        "ShuffledHashJoin"
+    )
+    assert n_joins == 1, p
+    # one two-phase aggregate (partial + final) over the join output
+    assert p.count("HashAggregate") <= 2, p
+
+
+def test_heavy_hitters_partial_aggregation_no_data_window(spark, sf_dir):
+    """q61: the groupBy must combine map-side (partial aggregate) and
+    the window must run over AGGREGATED counts, downstream of the
+    aggregate — never over raw rows."""
+    from check_datapackage_spark.operators import stats as st
+
+    li = load(spark, sf_dir, "lineitem")
+    p = plan_of(st.heavy_hitters(li, ["l_returnflag", "l_linestatus"], k=3))
+    assert "partial" in p.lower(), p
+    # Window appears after (above) the aggregate in the plan tree:
+    # the first Window line must come before the first HashAggregate
+    # line bottom-up — i.e. Window's index < aggregate's LAST index
+    lines = p.splitlines()
+    w_idx = min(i for i, l in enumerate(lines) if "Window" in l)
+    agg_idx = max(i for i, l in enumerate(lines) if "HashAggregate" in l)
+    assert w_idx < agg_idx, p
+
+
+def test_semantic_dedup_single_shuffle_to_cells(spark):
+    """q57: exactly one Exchange (the cell groupBy) feeds the
+    per-cell Gram matmul — assignment itself is map-side."""
+    from check_datapackage_spark.operators import similarity
+
+    df = spark.createDataFrame(
+        [(i, [float(i % 5)] * 8) for i in range(50)],
+        "vec_id long, embedding array<float>",
+    )
+    p = plan_of(similarity.semantic_dedup_exact(df, dim=8, n_cells=4))
+    # one shuffle for the groupBy("cell"); AQE may add reads but no
+    # second map-side Exchange should exist
+    assert p.count("Exchange hashpartitioning") == 1, p
