@@ -237,3 +237,81 @@ def streaming_pack_offsets(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def windowed_histogram(
+    stream: DataFrame,
+    column: str,
+    ts_col: str,
+    lo: float,
+    hi: float,
+    n_buckets: int = 32,
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked per-window fixed-width histogram of a value column:
+    (window, bucket, count) in append mode — the streaming half of the
+    drift check. State is |open windows| x n_buckets longs, bounded by
+    the watermark; the bucket expression is the SAME width_bucket
+    arithmetic the batch/oracle path uses (drift.bucket_expr)."""
+    from ..operators.drift import bucket_expr
+
+    stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    b = bucket_expr(F.col(column), lo, hi, n_buckets)
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.window(F.col(ts_col), window).alias("window"),
+            b.alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+
+
+def windowed_drift_monitor(
+    baseline: dict,
+    sink: Callable[[DataFrame, int], None],
+    eps: float = 1e-9,
+):
+    """foreachBatch stage turning closed-window histogram rows (the
+    append-mode output of :func:`windowed_histogram`) into per-window
+    PSI/KL vs a STATIC baseline distribution — live drift against the
+    distribution the model was trained on.
+
+    ``baseline`` maps bucket id -> probability (normalized driver-side,
+    broadcast as a literal map — it is n_buckets entries, never data).
+    Each epoch handles only the windows the watermark just closed, so
+    the per-epoch work is |closed windows x buckets| rows: tiny,
+    regardless of stream volume.
+    """
+    total = float(sum(baseline.values())) or 1.0
+    probs = {int(k): v / total for k, v in baseline.items()}
+
+    def _run(batch_df: DataFrame, epoch_id: int) -> None:
+        if not batch_df.columns:
+            return
+        pb = F.create_map(
+            *[x for k, v in probs.items() for x in (F.lit(k), F.lit(v))]
+        )
+        w = batch_df.groupBy("window").agg(F.sum("count").alias("wn"))
+        j = (
+            batch_df.join(w, "window")
+            .select(
+                "window",
+                (F.col("count") / F.col("wn")).alias("pa"),
+                F.coalesce(pb[F.col("bucket")], F.lit(0.0)).alias("pb"),
+            )
+        )
+        e = F.lit(eps)
+        out = j.groupBy("window").agg(
+            F.sum(
+                (F.col("pa") - F.col("pb"))
+                * F.log((F.col("pa") + e) / (F.col("pb") + e))
+            ).alias("psi"),
+            F.sum(
+                F.col("pa") * F.log((F.col("pa") + e) / (F.col("pb") + e))
+            ).alias("kl"),
+        )
+        sink(out, epoch_id)
+
+    return _run

@@ -315,3 +315,52 @@ def test_lsh_topk_exact_finds_planted_twin(spark, sf_dir):
     out = lsh_topk_exact(emb, queries, dim=64, k=5).collect()
     top1 = {r["query_id"]: r["vec_id"] for r in out if r["rank"] == 1}
     assert top1 == {100000 + i: i for i in range(5)}
+
+
+def test_windowed_histogram_drift_monitor(spark, tmp_path):
+    from check_datapackage_spark.operators.drift import bucket_expr
+    from check_datapackage_spark.streaming.checks import (
+        windowed_drift_monitor,
+        windowed_histogram,
+    )
+
+    src = str(tmp_path / "ev_drift")
+    ev = load(spark, "/root/testdata/sf0.001", "events")
+    ev.write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+
+    hist = windowed_histogram(
+        stream, "value", ts_col="ts", lo=0.0, hi=100.0, n_buckets=8,
+        window="6 hours", watermark="1 hour",
+    )
+    # baseline = the BATCH histogram over the same data: live windows
+    # drawn from the same distribution should show near-zero drift
+    batch = (
+        spark.read.parquet(src)
+        .select(bucket_expr(F.col("value"), 0.0, 100.0, 8).alias("b"))
+        .groupBy("b").count().collect()
+    )
+    baseline = {r["b"]: float(r["count"]) for r in batch}
+
+    got: list = []
+
+    def sink(df, epoch_id):
+        got.extend(df.collect())
+
+    q = (
+        hist.writeStream.foreachBatch(windowed_drift_monitor(baseline, sink))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert len(got) >= 50  # 30 days of 6h windows, all but the tail closed
+    # same-distribution windows: drift exists (small windows) but PSI is
+    # finite and non-negative everywhere
+    assert all(r["psi"] >= -1e-9 for r in got)
+    import statistics
+
+    assert statistics.median(r["psi"] for r in got) < 1.0
