@@ -166,6 +166,14 @@ def main(argv=None) -> int:
         default=".cdp.toml",
         help="TOML config file (strict / [[exclusions]] / required checks)",
     )
+    p.add_argument(
+        "--tokens-structure",
+        default=None,
+        metavar="BOS,EOS,PAD,MAXID[,COLUMN]",
+        help="append tokenized-sequence structure checks (BOS-first, "
+        "EOS-last, no interior pad, in-vocab) on COLUMN "
+        "(default: tokens)",
+    )
     args = p.parse_args(argv)
     toml_cfg = load_toml_config(args.config)
 
@@ -247,6 +255,22 @@ def main(argv=None) -> int:
             # schema-aware: jsonpath RequiredChecks expand their
             # wildcard/union/descent targets against the table schema
             extra = compile_extensions(config.extensions, schema=df.schema)
+        if args.tokens_structure:
+            from .operators.sequences import structure_checks
+
+            parts = args.tokens_structure.split(",")
+            if len(parts) not in (4, 5):
+                raise SystemExit(
+                    "--tokens-structure expects BOS,EOS,PAD,MAXID[,COLUMN]"
+                )
+            col = parts[4] if len(parts) == 5 else "tokens"
+            extra = (extra or []) + structure_checks(
+                col,
+                bos=int(parts[0]),
+                eos=int(parts[1]),
+                pad=int(parts[2]),
+                max_id=int(parts[3]),
+            )
         dims = {d: load_table(spark, args.data, d) for d in args.dims}
 
         if args.resume_ledger:

@@ -174,3 +174,38 @@ def test_structure_checks_streaming(spark, tmp_path):
         for r in spark.sql("SELECT * FROM seq_struct").collect()
     }
     assert got == {("2", "tokens.bos_first"), ("3", "tokens.no_interior_pad")}
+
+
+def test_cli_tokens_structure_flag(spark, tmp_path):
+    import json
+
+    from check_datapackage_spark import cli
+
+    data = tmp_path / "data"
+    data.mkdir()
+    spark.createDataFrame(
+        [(1, [0, 5, 1]), (2, [5, 1]), (3, [0, 2, 5, 1])],
+        "doc_id long, tokens array<long>",
+    ).write.parquet(str(data / "seqs.parquet"))
+    spec = tmp_path / "spec.json"
+    spec.write_text(
+        json.dumps(
+            {
+                "name": "seqs",
+                "schema": {
+                    "fields": [{"name": "doc_id", "type": "integer"}],
+                    "primaryKey": ["doc_id"],
+                },
+            }
+        )
+    )
+    rc = cli.main(
+        [
+            "--data", str(data),
+            "--table", "seqs",
+            "--spec", str(spec),
+            "--tokens-structure", "0,1,2,10",
+            "--error",
+        ]
+    )
+    assert rc == 1  # rows 2 (missing bos) and 3 (interior pad) violate
