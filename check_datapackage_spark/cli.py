@@ -177,6 +177,11 @@ def main(argv=None) -> int:
     args = p.parse_args(argv)
     toml_cfg = load_toml_config(args.config)
 
+    # only stop a session WE created: embedding main() in a host app
+    # (or the test suite) must not kill the host's session
+    from pyspark.sql import SparkSession
+
+    pre_existing = SparkSession.getActiveSession() is not None
     spark = get_spark("cdp-cli", cores=args.cores)
     try:
         spec = read_spec(
@@ -335,7 +340,8 @@ def main(argv=None) -> int:
     except DataPackageError:
         return 1
     finally:
-        spark.stop()
+        if not pre_existing:
+            spark.stop()
 
 
 if __name__ == "__main__":
