@@ -376,3 +376,33 @@ def test_bigram_stats_hand(spark):
     assert out["A"]["n_bigrams"] == 4 and out["A"]["n_distinct_bigrams"] == 2
     assert out["B"]["top_bigram"] == "q q" and out["B"]["top_cnt"] == 2
     assert out["B"]["n_bigrams"] == 2 and out["B"]["n_distinct_bigrams"] == 1
+
+
+def test_bpe_train_merge_sequence(spark):
+    from check_datapackage_spark.operators.bpe import bpe_train
+
+    df = spark.createDataFrame(
+        [("a b a b c",), ("a b c",)], "text string"
+    )
+    merges, toks = bpe_train(df, "text", n_merges=5)
+    assert merges == [("a", "b", 3), ("a b", "c", 2)]
+    out = sorted(tuple(r["toks"]) for r in toks.collect())
+    assert out == [("a b", "a b c"), ("a b c",)]
+
+
+def test_bpe_train_deterministic_and_early_stop(spark):
+    from check_datapackage_spark.operators.bpe import bpe_train
+
+    df = spark.createDataFrame(
+        [("x y z",), ("p q r",)], "text string"
+    )
+    # every adjacent pair occurs once < min_count=2 -> no merges
+    merges, _ = bpe_train(df, "text", n_merges=3)
+    assert merges == []
+    df2 = spark.createDataFrame(
+        [(f"t{i % 4} t{(i + 1) % 4} mid t{i % 3}",) for i in range(40)],
+        "text string",
+    )
+    m1, _ = bpe_train(df2, "text", n_merges=4)
+    m2, _ = bpe_train(df2, "text", n_merges=4)
+    assert m1 == m2 and len(m1) == 4
