@@ -108,3 +108,37 @@ def bpe_train(
             _merge_udf(a, b)(F.col("toks")).alias("toks")
         ).localCheckpoint(eager=True)
     return merges, toks
+
+
+def bpe_apply(
+    df: DataFrame,
+    merges: list,
+    col: str = "text",
+    out_col: str = "toks",
+) -> DataFrame:
+    """Tokenize with a learned merge table: whitespace-split, then
+    apply every merge IN TRAINING ORDER (BPE inference semantics).
+    One Arrow-batched map-side pass — the merge table ships in the
+    UDF closure (n_merges tuples, never data), so at any corpus size
+    this is shuffle-free."""
+    pairs = [(a, b) for a, b, *_ in merges]
+
+    @F.pandas_udf("array<string>")
+    def apply(s: pd.Series) -> pd.Series:
+        def tok(text):
+            toks = [w for w in str(text).lower().split() if w]
+            for a, b in pairs:
+                merged, out, i, n = f"{a} {b}", [], 0, len(toks)
+                while i < n:
+                    if i + 1 < n and toks[i] == a and toks[i + 1] == b:
+                        out.append(merged)
+                        i += 2
+                    else:
+                        out.append(toks[i])
+                        i += 1
+                toks = out
+            return toks
+
+        return s.apply(tok)
+
+    return df.withColumn(out_col, apply(F.col(col)))

@@ -406,3 +406,20 @@ def test_bpe_train_deterministic_and_early_stop(spark):
     m1, _ = bpe_train(df2, "text", n_merges=4)
     m2, _ = bpe_train(df2, "text", n_merges=4)
     assert m1 == m2 and len(m1) == 4
+
+
+def test_bpe_apply_matches_training_tokenization(spark):
+    from check_datapackage_spark.operators.bpe import bpe_apply, bpe_train
+
+    df = spark.createDataFrame(
+        [("a b a b c",), ("a b c",), ("c a b",)], "text string"
+    )
+    merges, trained = bpe_train(df, "text", n_merges=5)
+    applied = bpe_apply(df, merges, "text")
+    got = sorted(tuple(r["toks"]) for r in applied.collect())
+    want = sorted(tuple(r["toks"]) for r in trained.collect())
+    assert got == want
+    # unseen text uses learned merges where they occur
+    new = spark.createDataFrame([("z a b z",)], "text string")
+    (row,) = bpe_apply(new, merges, "text").collect()
+    assert row["toks"] == ["z", "a b", "z"]
