@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..issue import VIOLATION_COLUMNS
@@ -94,3 +94,45 @@ def referential_violations(
         rk.alias("row_key"),
         part.alias("partition"),
     ).select(*VIOLATION_COLUMNS)
+
+
+def reconcile(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    fact_measure: Column,
+    dim_measure: Column,
+) -> DataFrame:
+    """Cross-table aggregate reconciliation — the other half of
+    referential integrity: not just "does the key exist" but "do the
+    MEASURES agree" (sum of line items vs the order header total, rows
+    ingested vs manifest counts, token counts vs shard metadata).
+
+    ``fact_measure``/``dim_measure`` should be INTEGER expressions
+    (e.g. cents via round(x*100)): integer sums are associative, so
+    the comparison is exact under ANY partitioning/aggregation order —
+    double sums differ in the last ulp between engines and between
+    runs (oracle-exactness rule).
+
+    Returns one row per key: (key, expected, actual, diff) where
+    ``actual`` is the fact-side aggregate, ``expected`` the dim-side
+    value, and keys missing from either side surface as NULL on that
+    side (a missing dim row IS a reconciliation failure). Scale shape:
+    ONE map-side-combinable aggregation of the fact, then a key join
+    with the dim — co-partitioned/bucketed layouts make the join
+    shuffle-free; there is no per-key window and no driver traffic.
+    """
+    f = fact.groupBy(F.col(fact_key).alias("key")).agg(
+        F.sum(fact_measure).alias("actual")
+    )
+    d = dim.select(
+        F.col(dim_key).alias("key"), dim_measure.alias("expected")
+    )
+    return f.join(d, "key", "full_outer").select(
+        "key",
+        "expected",
+        "actual",
+        (F.coalesce(F.col("actual"), F.lit(0)) -
+         F.coalesce(F.col("expected"), F.lit(0))).alias("diff"),
+    )

@@ -150,3 +150,45 @@ def structure_checks(
             instance=F.lit(None),
         ),
     ]
+
+
+def order_inversions(
+    df: DataFrame,
+    ts_col: str,
+    order_col: str,
+    by: str,
+) -> DataFrame:
+    """Event-time monotonicity check: within each ``by`` group ordered
+    by ``order_col`` (e.g. ingestion id), count events whose ``ts``
+    moved BACKWARDS vs the previous event — out-of-order delivery, the
+    invariant every watermark/asof consumer silently assumes.
+
+    One shuffle (the per-group window); output one row per group:
+    (by, n_events, n_inversions, max_backstep_s). At skewed group
+    sizes the window partitions by the group key only — salt the key
+    upstream if one group dominates (same guidance as uniqueness)."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(by).orderBy(order_col)
+    # NTZ cannot cast to double directly; the timestamp hop preserves
+    # the instant (session TZ pinned UTC, same as streaming/checks.py)
+    t = F.col(ts_col).cast("timestamp").cast("double")
+    staged = df.select(
+        F.col(by),
+        t.alias("_t"),
+        F.lag(t).over(w).alias("_prev"),
+    )
+    step = F.col("_t") - F.col("_prev")
+    flagged = staged.select(
+        F.col(by),
+        F.when(F.col("_prev").isNotNull() & (step < 0), -step).alias("_back"),
+    )
+    return flagged.groupBy(by).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum((F.col("_back").isNotNull()).cast("long")).alias(
+            "n_inversions"
+        ),
+        F.round(F.coalesce(F.max("_back"), F.lit(0.0)), 3).alias(
+            "max_backstep_s"
+        ),
+    )

@@ -3281,6 +3281,87 @@ ORDER BY jsonpath, type, "check"
 """
 
 
+def q63_reconciliation(spark, sf_dir):
+    """Cross-table aggregate reconciliation
+    (:func:`referential.reconcile`): sum of lineitem extended prices
+    vs the order header total, in integer CENTS so the comparison is
+    exact under any aggregation order (double sums differ in the last
+    ulp between engines). The synthetic data does NOT reconcile —
+    these are natural violations, no planting. Output: per diff-sign
+    summary (keys, total and max absolute discrepancy)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    r = referential.reconcile(
+        li,
+        orders,
+        "l_orderkey",
+        "o_orderkey",
+        F.round(F.col("l_extendedprice") * 100).cast("long"),
+        F.round(F.col("o_totalprice") * 100).cast("long"),
+    )
+    return (
+        r.groupBy(F.signum("diff").cast("int").alias("diff_sign"))
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum(F.abs("diff")).alias("total_abs_diff_cents"),
+            F.max(F.abs("diff")).alias("max_abs_diff_cents"),
+        )
+        .orderBy("diff_sign")
+    )
+
+
+Q63_SQL = """
+WITH f AS (
+  SELECT l_orderkey AS key,
+         SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS actual
+  FROM lineitem GROUP BY 1),
+d AS (
+  SELECT o_orderkey AS key,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS expected
+  FROM orders),
+j AS (
+  SELECT COALESCE(f.actual, 0) - COALESCE(d.expected, 0) AS diff
+  FROM f FULL OUTER JOIN d USING (key))
+SELECT CAST(CASE WHEN diff > 0 THEN 1 WHEN diff < 0 THEN -1 ELSE 0 END
+            AS INT) AS diff_sign,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(ABS(diff)) AS BIGINT) AS total_abs_diff_cents,
+       CAST(MAX(ABS(diff)) AS BIGINT) AS max_abs_diff_cents
+FROM j GROUP BY 1 ORDER BY 1
+"""
+
+
+def q64_order_inversions(spark, sf_dir):
+    """Event-time monotonicity (:func:`sequences.order_inversions`):
+    per user, events ordered by event_id whose timestamp moved
+    BACKWARDS — the out-of-order-delivery invariant every watermark
+    and as-of consumer assumes. Natural violations (the synthetic
+    event stream interleaves users), one window shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    return sequences.order_inversions(
+        ev, "ts", "event_id", "user_id"
+    ).orderBy("user_id")
+
+
+Q64_SQL = """
+WITH x AS (
+  SELECT user_id, epoch(ts) AS t,
+         LAG(epoch(ts)) OVER (PARTITION BY user_id
+                              ORDER BY event_id) AS prev
+  FROM events),
+f AS (
+  SELECT user_id,
+         CASE WHEN prev IS NOT NULL AND t - prev < 0
+              THEN prev - t END AS back
+  FROM x)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN back IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_inversions,
+       ROUND(COALESCE(MAX(back), 0.0), 3) AS max_backstep_s
+FROM f GROUP BY user_id ORDER BY user_id
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_profile_lineitem": q02_profile_lineitem,
@@ -3344,6 +3425,8 @@ QUERIES = {
     "q60_snapshot_diff": q60_snapshot_diff,
     "q61_heavy_hitters": q61_heavy_hitters,
     "q62_json_schema_propnames_deps": q62_json_schema_propnames_deps,
+    "q63_reconciliation": q63_reconciliation,
+    "q64_order_inversions": q64_order_inversions,
 }
 
 ORACLES = {
@@ -3406,6 +3489,8 @@ ORACLES = {
     "q60_snapshot_diff": Q60_SQL,
     "q61_heavy_hitters": Q61_SQL,
     "q62_json_schema_propnames_deps": Q62_SQL,
+    "q63_reconciliation": Q63_SQL,
+    "q64_order_inversions": Q64_SQL,
     # q21/q32/q37: rows-only by design — approximate ANN top-k
     # (recall < 1 is intrinsic at honest params) and t-digest sketches
     # have no exact SQL twin.

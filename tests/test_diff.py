@@ -73,3 +73,49 @@ def test_heavy_hitters_skew_profile(spark):
     # NULL ranks like any other value (1 occurrence, ties broken by value)
     assert by[("k", 2)]["cnt"] == 1
     assert by[("v", 1)]["cnt"] == 4 and by[("v", 2)]["cnt"] == 4
+
+
+def test_reconcile_integer_exact(spark):
+    from check_datapackage_spark.operators import referential
+    from pyspark.sql import functions as F
+
+    fact = spark.createDataFrame(
+        [(1, 10.00), (1, 5.50), (2, 3.00), (9, 1.00)],
+        "k long, amt double",
+    )
+    dim = spark.createDataFrame(
+        [(1, 15.50), (2, 4.00), (3, 7.00)], "k long, total double"
+    )
+    out = {
+        r["key"]: (r["expected"], r["actual"], r["diff"])
+        for r in referential.reconcile(
+            fact, dim, "k", "k",
+            F.round(F.col("amt") * 100).cast("long"),
+            F.round(F.col("total") * 100).cast("long"),
+        ).collect()
+    }
+    assert out[1] == (1550, 1550, 0)          # reconciles
+    assert out[2] == (400, 300, -100)         # fact short by 1.00
+    assert out[3] == (700, None, -700)        # dim-only key
+    assert out[9] == (None, 100, 100)         # fact-only key
+
+
+def test_order_inversions_counts(spark):
+    from check_datapackage_spark.operators import sequences
+
+    rows = [
+        ("u1", 1, "2024-01-01 00:00:00"),
+        ("u1", 2, "2024-01-01 00:00:10"),
+        ("u1", 3, "2024-01-01 00:00:05"),  # back 5s
+        ("u2", 1, "2024-01-01 00:00:00"),
+        ("u2", 2, "2024-01-01 00:00:01"),
+    ]
+    df = spark.createDataFrame(
+        rows, "u string, i long, ts string"
+    ).selectExpr("u", "i", "CAST(ts AS TIMESTAMP) AS ts")
+    out = {
+        r["u"]: (r["n_events"], r["n_inversions"], r["max_backstep_s"])
+        for r in sequences.order_inversions(df, "ts", "i", "u").collect()
+    }
+    assert out["u1"] == (3, 1, 5.0)
+    assert out["u2"] == (2, 0, 0.0)
