@@ -119,3 +119,18 @@ def test_order_inversions_counts(spark):
     }
     assert out["u1"] == (3, 1, 5.0)
     assert out["u2"] == (2, 0, 0.0)
+
+
+def test_schema_diff_changes(spark):
+    old = spark.createDataFrame(
+        [(1, "a", 1.0)], "id long, s string, x double"
+    )
+    new = spark.createDataFrame(
+        [(1, 2, True)], "id long, s int, y boolean"
+    )
+    got = diff.schema_diff(old, new)
+    by = {(d["column"], d["change"]): d for d in got}
+    assert ("s", "type") in by and by[("s", "type")]["new"] == "int"
+    assert ("x", "removed") in by
+    assert ("y", "added") in by and by[("y", "added")]["new"] == "boolean"
+    assert ("id", "type") not in by
