@@ -149,26 +149,27 @@ def drift_from_histogram(h: DataFrame, by: str, eps: float = 1e-9) -> DataFrame:
     (by, bucket, count) histogram — the shared core of
     :func:`drift_by_group` and :func:`token_histogram` drift (q39).
 
-    The global reference is re-aggregated from the per-group histogram
-    (no second scan); all side tables are tiny (≤ groups × buckets rows)
-    and broadcast. ``h`` is cached HERE because the plan references it
-    three times (global totals, group totals, main join) — without the
-    cache the histogram scan over the full input executes ~3× per run
-    (ADVICE r3: q39's direct-call path paid the Arrow-UDF token-
-    histogram three times)."""
-    h = h.cache()
-    total = h.groupBy("bucket").agg(F.sum("count").alias("gcount"))
-    gt = h.groupBy(by).agg(F.sum("count").alias("gn"))
-    tt = total.agg(F.sum("gcount").alias("tn"))
+    The global reference is derived from the per-group histogram with
+    window sums over the AGGREGATED table (≤ groups × buckets rows) —
+    a single lineage, so the histogram scan over the full input runs
+    exactly once per action with NO cache (r4 ADVICE: the previous
+    ``h.cache()`` here leaked cached partitions across repeated calls
+    in dashboards/foreachBatch loops). The unpartitioned total window
+    funnels only the tiny histogram through one task — never input
+    rows."""
+    from pyspark.sql import Window as W
 
+    w_bucket = W.partitionBy("bucket")
+    w_group = W.partitionBy(by)
+    w_all = W.partitionBy()
     joined = (
-        h.join(F.broadcast(total), "bucket")
-        .join(F.broadcast(gt), by)
-        .crossJoin(F.broadcast(tt))
-        .select(
+        h.select(
             F.col(by),
-            (F.col("count") / F.col("gn")).alias("pa"),
-            (F.col("gcount") / F.col("tn")).alias("pb"),
+            (F.col("count") / F.sum("count").over(w_group)).alias("pa"),
+            (
+                F.sum("count").over(w_bucket)
+                / F.sum("count").over(w_all)
+            ).alias("pb"),
         )
         .select(
             by,

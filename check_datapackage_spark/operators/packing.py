@@ -73,7 +73,16 @@ def pack_sequences(
     hot-group sharding recipe.
     """
     keys = [by] if isinstance(by, str) else list(by)
-    w = Window.partitionBy(*keys).orderBy(order_col)
+    # explicit ROWS frame: Spark's default frame under ORDER BY is
+    # RANGE, which merges duplicate order_col values into one shared
+    # cumulative sum — rows-frame matches the documented concat-and-
+    # chunk layout (and the oracle's ROWS UNBOUNDED PRECEDING) even
+    # when order_col ties (r4 ADVICE)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     n = F.col(n_tok_col).cast("long")
     start = (F.sum(n_tok_col).over(w) - n).cast("long")
     first = F.floor(start / seq_len)
@@ -159,7 +168,11 @@ def token_budget_mix(
     )
     for stratum, budget in sorted(budgets.items()):
         b = F.when(F.col(by) == stratum, F.lit(int(budget))).otherwise(b)
-    w = Window.partitionBy(by).orderBy(unit_hash(F.col(key), salt), key)
+    w = (
+        Window.partitionBy(by)
+        .orderBy(unit_hash(F.col(key), salt), key)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     before = (F.sum(n_tok_col).over(w) - F.col(n_tok_col)).cast("long")
     return (
         df.withColumn("_tok_before", before)

@@ -41,20 +41,26 @@ def structure_flags(
     ``oov`` is any id outside ``[0, max_id]``. The array expression is
     let-bound so callers can pass a CONSTRUCTED array (e.g. a planted
     corruption) without paying one re-evaluation per predicate.
+
+    Empty (zero-length, non-null) arrays are themselves malformed
+    shards: ``try_element_at`` (ANSI-safe, never throws — same
+    convention as extensions.py) yields NULL endpoints, which we
+    define as ``missing_bos`` + ``bad_eos`` violations with zero
+    interior pads and no OOV.
     """
 
     def flags_of(t: Column) -> Column:
-        first = F.element_at(t, 1)
-        last = F.element_at(t, -1)
+        first = F.try_element_at(t, F.lit(1))
+        last = F.try_element_at(t, F.lit(-1))
         n_pad = F.size(F.filter(t, lambda x: x == F.lit(pad)))
         interior_pads = (
             n_pad
-            - (first == pad).cast("int")
-            - (last == pad).cast("int")
+            - F.coalesce((first == pad).cast("int"), F.lit(0))
+            - F.coalesce((last == pad).cast("int"), F.lit(0))
         )
         return F.struct(
-            (first != bos).alias("missing_bos"),
-            (last != eos).alias("bad_eos"),
+            F.coalesce(first != bos, F.lit(True)).alias("missing_bos"),
+            F.coalesce(last != eos, F.lit(True)).alias("bad_eos"),
             (interior_pads > 0).alias("pad_interior"),
             F.exists(
                 t, lambda x: (x < F.lit(0)) | (x > F.lit(max_id))
@@ -103,22 +109,27 @@ def structure_checks(
     stateless projections, so they run unchanged in append mode).
 
     NULL arrays pass every structure check — ``required`` owns null
-    handling, same convention as every field constraint.
+    handling, same convention as every field constraint. EMPTY arrays
+    (zero-length, non-null) violate bos_first and eos_last:
+    ``try_element_at`` (ANSI-safe) returns NULL endpoints and the
+    coalesced predicates treat a missing endpoint as a violation.
     """
     from ..compile import compile_invariant
 
     t = F.col(column)
-    first = F.element_at(t, 1)
-    last = F.element_at(t, -1)
+    first = F.try_element_at(t, F.lit(1))
+    last = F.try_element_at(t, F.lit(-1))
     n_pad = F.size(F.filter(t, lambda x: x == F.lit(pad)))
     interior_pads = (
-        n_pad - (first == pad).cast("int") - (last == pad).cast("int")
+        n_pad
+        - F.coalesce((first == pad).cast("int"), F.lit(0))
+        - F.coalesce((last == pad).cast("int"), F.lit(0))
     )
     null_ok = t.isNull()
     return [
         compile_invariant(
             name=f"{column}.bos_first",
-            ok=null_ok | (first == bos),
+            ok=null_ok | F.coalesce(first == bos, F.lit(False)),
             issue_type="structure",
             message=f"sequence must start with BOS ({bos})",
             column=column,
@@ -126,7 +137,7 @@ def structure_checks(
         ),
         compile_invariant(
             name=f"{column}.eos_last",
-            ok=null_ok | (last == eos),
+            ok=null_ok | F.coalesce(last == eos, F.lit(False)),
             issue_type="structure",
             message=f"sequence must end with EOS ({eos})",
             column=column,

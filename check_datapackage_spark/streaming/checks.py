@@ -279,7 +279,11 @@ def windowed_drift_monitor(
     distribution the model was trained on.
 
     ``baseline`` maps bucket id -> probability (normalized driver-side,
-    broadcast as a literal map — it is n_buckets entries, never data).
+    broadcast as an n_buckets-row local table — never data). The PSI/KL
+    sum runs over the FULL bucket domain per window — baseline buckets
+    the window never observed enter with pa=0 (a full-outer grid join),
+    so mass vanishing from a baseline-heavy bucket scores drift (r4
+    ADVICE: the previous observed-rows-only sum underestimated PSI).
     Each epoch handles only the windows the watermark just closed, so
     the per-epoch work is |closed windows x buckets| rows: tiny,
     regardless of stream volume.
@@ -290,16 +294,29 @@ def windowed_drift_monitor(
     def _run(batch_df: DataFrame, epoch_id: int) -> None:
         if not batch_df.columns:
             return
-        pb = F.create_map(
-            *[x for k, v in probs.items() for x in (F.lit(k), F.lit(v))]
+        dom = batch_df.sparkSession.createDataFrame(
+            [(k, v) for k, v in sorted(probs.items())],
+            "bucket int, pb double",
         )
         w = batch_df.groupBy("window").agg(F.sum("count").alias("wn"))
+        # windows × baseline buckets grid; full-outer keeps observed
+        # buckets outside the baseline domain (they get pb=0)
+        grid = w.select("window").crossJoin(F.broadcast(dom))
         j = (
-            batch_df.join(w, "window")
+            grid.join(
+                batch_df.withColumn(
+                    "bucket", F.col("bucket").cast("int")
+                ),
+                ["window", "bucket"],
+                "full_outer",
+            )
+            .join(w, "window")
             .select(
                 "window",
-                (F.col("count") / F.col("wn")).alias("pa"),
-                F.coalesce(pb[F.col("bucket")], F.lit(0.0)).alias("pb"),
+                (
+                    F.coalesce(F.col("count"), F.lit(0)) / F.col("wn")
+                ).alias("pa"),
+                F.coalesce(F.col("pb"), F.lit(0.0)).alias("pb"),
             )
         )
         e = F.lit(eps)

@@ -101,3 +101,19 @@ def test_token_budget_mix_default_none_passthrough(spark):
     kept = packing.token_budget_mix(df, {"A": 1}, default=None).collect()
     # B has no budget and default None → whole stratum kept
     assert {r["doc_id"] for r in kept if r["source"] == "B"} == {10}
+
+
+def test_pack_sequences_duplicate_order_col_rows_frame(spark):
+    """Ties in order_col must still get strictly increasing start_tok
+    (ROWS frame, r4 ADVICE): the RANGE default would hand every tied
+    row the same cumulative sum and overlap their offsets."""
+    df = spark.createDataFrame(
+        [(1, "s", 5, 0), (2, "s", 5, 0), (3, "s", 5, 0), (4, "s", 5, 1)],
+        "doc_id long, source string, n_tok long, ord long",
+    )
+    out = packing.pack_sequences(
+        df, seq_len=4, by="source", order_col="ord"
+    ).collect()
+    starts = sorted(r["start_tok"] for r in out)
+    # 4 docs x 5 tokens laid end-to-end: offsets 0,5,10,15 — no overlap
+    assert starts == [0, 5, 10, 15]

@@ -17,6 +17,7 @@ def test_structure_flags_each_violation(spark):
         (4, [BOS, PAD, 2, EOS]),      # interior pad
         (5, [BOS, 1, 999, EOS]),      # oov
         (6, [PAD, 1, 2, PAD]),        # endpoints pad only: bos+eos bad, no interior
+        (7, []),                      # empty shard: bos+eos violations, no crash
     ]
     df = spark.createDataFrame(rows, "id long, tokens array<long>")
     out = (
@@ -40,6 +41,8 @@ def test_structure_flags_each_violation(spark):
     assert got[4] == (False, False, True, False)
     assert got[5] == (False, False, False, True)
     assert got[6] == (True, True, False, False)
+    # ANSI mode: try_element_at keeps empty arrays from aborting the job
+    assert got[7] == (True, True, False, False)
 
 
 def test_structure_summary_counts(spark):
@@ -126,6 +129,7 @@ def test_structure_checks_in_check_table(spark):
         (2, [5, EOS]),        # missing bos
         (3, [BOS, PAD, EOS]), # interior pad
         (4, [BOS, 99, EOS]),  # oov (max_id 10)
+        (5, []),              # empty: bos+eos violations (ANSI-safe)
     ]
     df = spark.createDataFrame(rows, "doc_id long, tokens array<long>")
     v = violations_plan(
@@ -138,7 +142,10 @@ def test_structure_checks_in_check_table(spark):
     assert ("2", "tokens.bos_first") in got
     assert ("3", "tokens.no_interior_pad") in got
     assert ("4", "tokens.in_vocab") in got
+    assert ("5", "tokens.bos_first") in got
+    assert ("5", "tokens.eos_last") in got
     assert not any(rk == "1" for rk, _ in got)
+    assert not any(rk == "5" and c == "tokens.no_interior_pad" for rk, c in got)
 
 
 def test_structure_checks_streaming(spark, tmp_path):

@@ -330,9 +330,13 @@ def test_windowed_histogram_drift_monitor(spark, tmp_path):
     schema = spark.read.parquet(src).schema
     stream = spark.readStream.schema(schema).parquet(src)
 
+    # 5-day windows: ~165 events each — populated enough that the
+    # full-bucket-domain PSI (which rightly blows up on near-empty
+    # windows missing baseline buckets) stays small for same-
+    # distribution data
     hist = windowed_histogram(
         stream, "value", ts_col="ts", lo=0.0, hi=100.0, n_buckets=8,
-        window="6 hours", watermark="1 hour",
+        window="5 days", watermark="1 hour",
     )
     # baseline = the BATCH histogram over the same data: live windows
     # drawn from the same distribution should show near-zero drift
@@ -357,10 +361,38 @@ def test_windowed_histogram_drift_monitor(spark, tmp_path):
         q.processAllAvailable()
     finally:
         q.stop()
-    assert len(got) >= 50  # 30 days of 6h windows, all but the tail closed
+    assert len(got) >= 4  # 30 days of 5d windows, all but the tail closed
     # same-distribution windows: drift exists (small windows) but PSI is
     # finite and non-negative everywhere
     assert all(r["psi"] >= -1e-9 for r in got)
     import statistics
 
     assert statistics.median(r["psi"] for r in got) < 1.0
+
+
+def test_drift_monitor_scores_vanished_baseline_bucket(spark):
+    """A baseline-heavy bucket with ZERO observed rows must contribute
+    its (0-pb)*log(eps/(pb+eps)) term (r4 ADVICE: the observed-rows-only
+    sum silently dropped it)."""
+    from check_datapackage_spark.streaming.checks import windowed_drift_monitor
+
+    batch = spark.createDataFrame(
+        [("w1", 1, 10)], "window string, bucket int, count long"
+    )
+    got: list = []
+    fn = windowed_drift_monitor({0: 0.5, 1: 0.5}, lambda df, e: got.extend(df.collect()))
+    fn(batch, 0)
+    assert len(got) == 1
+    # all mass moved out of bucket 0: PSI ≈ 0.5*log(0.5/eps)*2 >> 1;
+    # the old observed-only sum would report ~0.35
+    assert got[0]["psi"] > 5.0
+    # observed bucket OUTSIDE the baseline domain still enters with pb=0
+    got2: list = []
+    fn2 = windowed_drift_monitor({0: 1.0}, lambda df, e: got2.extend(df.collect()))
+    fn2(
+        spark.createDataFrame(
+            [("w1", 7, 5)], "window string, bucket int, count long"
+        ),
+        0,
+    )
+    assert got2[0]["psi"] > 5.0
