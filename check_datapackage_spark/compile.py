@@ -311,21 +311,181 @@ def _unique_items_pred(arr_v: Column) -> Column:
 
 
 #: Draft-7 annotation keywords — no validation semantics, always allowed
-#: inside combinator member schemas.
+#: inside combinator member schemas. ``definitions``/``$defs`` are ref
+#: CONTAINERS: :func:`resolve_refs` substitutes every ``$ref`` at
+#: compile time, so whatever survives here is inert.
 _JS_ANNOTATIONS = frozenset(
     {"title", "description", "default", "examples", "$comment", "$schema",
-     "$id", "deprecated", "readOnly", "writeOnly"}
+     "$id", "deprecated", "readOnly", "writeOnly",
+     "definitions", "$defs"}
 )
 #: validation keywords :func:`_schema_pred` implements.
 _JS_SUPPORTED = frozenset(
     {"type", "enum", "const", "pattern", "multipleOf",
      "minimum", "maximum", "exclusiveMinimum", "exclusiveMaximum",
      "minLength", "maxLength", "minItems", "maxItems", "uniqueItems",
-     "items", "contains", "properties", "required",
+     "items", "additionalItems", "contains", "properties", "required",
      "minProperties", "maxProperties", "additionalProperties",
-     "propertyNames", "dependencies",
+     "propertyNames", "patternProperties", "dependencies", "format",
      "anyOf", "oneOf", "allOf", "not", "if", "then", "else"}
 )
+
+
+def _json_pointer(root, ptr: str):
+    """Resolve a LOCAL ``#/...`` JSON Pointer against the root schema
+    (RFC 6901 escaping: ``~1`` → ``/``, ``~0`` → ``~``)."""
+    if not ptr.startswith("#"):
+        raise ValueError(
+            f"only local '#/...' $ref pointers are supported, got {ptr!r}"
+        )
+    cur = root
+    frag = ptr[1:].lstrip("/")
+    if not frag:
+        return root
+    for raw in frag.split("/"):
+        tok = raw.replace("~1", "/").replace("~0", "~")
+        if isinstance(cur, list):
+            try:
+                cur = cur[int(tok)]
+            except (ValueError, IndexError):
+                raise ValueError(f"$ref {ptr!r} does not resolve") from None
+        elif isinstance(cur, dict) and tok in cur:
+            cur = cur[tok]
+        else:
+            raise ValueError(f"$ref {ptr!r} does not resolve")
+    return cur
+
+
+def resolve_refs(schema: dict, root: Optional[dict] = None) -> dict:
+    """Expand every local ``$ref`` in a Draft-7 schema at COMPILE time —
+    pure dict substitution against the root's ``definitions``/``$defs``
+    (or any local pointer), zero runtime cost. Draft-7 semantics: the
+    sibling keywords of ``$ref`` are ignored (exactly what
+    ``jsonschema.Draft7Validator`` does, the reference's engine at ref
+    check.py:559-561 — its bundled data-package-2-0.json profile is
+    itself ``$ref``-heavy).
+
+    RECURSIVE schemas raise: a cyclic ``$ref`` has no finite expression
+    expansion (Catalyst predicates are finite trees), and refusing
+    loudly beats validating wrongly — the same contract as every other
+    unsupported keyword. The guard is the expansion PATH (a diamond —
+    the same definition referenced from two branches — is fine)."""
+    root_schema = schema if root is None else root
+
+    def expand(node, stack: tuple):
+        if isinstance(node, list):
+            return [expand(x, stack) for x in node]
+        if not isinstance(node, dict):
+            return node
+        if "$ref" in node:
+            ptr = node["$ref"]
+            if ptr in stack:
+                chain = " -> ".join(stack + (ptr,))
+                raise ValueError(
+                    f"recursive $ref is not supported (cycle: {chain})"
+                )
+            target = _json_pointer(root_schema, ptr)
+            if not isinstance(target, dict):
+                raise ValueError(
+                    f"$ref {ptr!r} must point at a schema object, "
+                    f"got {type(target).__name__}"
+                )
+            return expand(target, stack + (ptr,))
+        return {
+            k: expand(v, stack)
+            for k, v in node.items()
+            if k not in ("definitions", "$defs")
+        }
+
+    return expand(schema, ())
+
+
+# --- Draft-7 ``format`` --------------------------------------------------
+# Exact parity with the checkers the reference's FormatChecker() has
+# registered in this environment (jsonschema 4.26, no optional format
+# deps beyond idna; ref check.py:560 passes format_checker=FormatChecker()).
+# Semantics verified probe-by-probe against Draft7Validator:
+#   email/idn-email  = '"@" in s' (jsonschema is_email, literally)
+#   date             = ^\d{4}-\d{2}-\d{2}$ + real calendar date, year>=1
+#   time             = strptime('%H:%M:%S'): 1-2 digit fields, no frac/tz
+#   date-time        = rfc3339_validator: offset REQUIRED, no leap second,
+#                      case-insensitive T/Z, real calendar date
+#   uuid             = canonical 8-4-4-4-12 hex with hyphens (is_uuid)
+#   ipv4             = dotted quad 0-255, no leading zeros
+#   ipv6             = RFC 3986 grammar incl. embedded IPv4, no zone-id
+#   json-pointer / relative-json-pointer = RFC 6901 grammars
+# Formats the environment's FormatChecker does NOT register (uri,
+# hostname, iri, duration, ... — their optional deps are absent) are
+# ignored, which is exactly what the reference does here. ``regex`` and
+# ``idn-hostname`` ARE registered but need a Python interpreter
+# (re.compile / idna encoding) — not expressible as a JVM predicate
+# usable inside HOF lambdas, so they are ignored too (documented
+# divergence; Draft-7 calls format best-effort).
+_IPV4_OCTET = r"(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)"
+_IPV4_RE = rf"^({_IPV4_OCTET}\.){{3}}{_IPV4_OCTET}$"
+_H16 = r"[0-9A-Fa-f]{1,4}"
+_LS32 = rf"({_H16}:{_H16}|({_IPV4_OCTET}\.){{3}}{_IPV4_OCTET})"
+_IPV6_RE = (
+    "^("
+    rf"({_H16}:){{6}}{_LS32}"
+    rf"|::({_H16}:){{5}}{_LS32}"
+    rf"|({_H16})?::({_H16}:){{4}}{_LS32}"
+    rf"|(({_H16}:)?{_H16})?::({_H16}:){{3}}{_LS32}"
+    rf"|(({_H16}:){{0,2}}{_H16})?::({_H16}:){{2}}{_LS32}"
+    rf"|(({_H16}:){{0,3}}{_H16})?::{_H16}:{_LS32}"
+    rf"|(({_H16}:){{0,4}}{_H16})?::{_LS32}"
+    rf"|(({_H16}:){{0,5}}{_H16})?::{_H16}"
+    rf"|(({_H16}:){{0,6}}{_H16})?::"
+    ")$"
+)
+_JS_DATE_RE = r"^\d{4}-\d{2}-\d{2}$"
+_JS_TIME_RE = r"^([01]?\d|2[0-3]):[0-5]?\d:[0-5]?\d$"
+_JS_DATETIME_RE = (
+    r"^\d{4}-(0[1-9]|1[0-2])-\d{2}[Tt]([01]\d|2[0-3]):[0-5]\d:[0-5]\d"
+    r"(\.\d+)?([Zz]|[+-]([01]\d|2[0-3]):[0-5]\d)$"
+)
+_JS_UUID_RE = (
+    r"^[0-9A-Fa-f]{8}-[0-9A-Fa-f]{4}-[0-9A-Fa-f]{4}"
+    r"-[0-9A-Fa-f]{4}-[0-9A-Fa-f]{12}$"
+)
+_JS_JSON_POINTER_RE = r"^(/([^/~]|~[01])*)*$"
+_JS_REL_JSON_POINTER_RE = r"^(0|[1-9]\d*)(#|(/([^/~]|~[01])*)*)$"
+
+
+def _calendar_date_ok(text: Column) -> Column:
+    """Real-calendar gate shared by date/date-time: the first 10 chars
+    parse as an actual date (leap years, month lengths) with year >= 1
+    (``date.fromisoformat`` / rfc3339_validator both reject year 0;
+    Spark's proleptic parser accepts it, hence the explicit guard)."""
+    head = F.substring(text, 1, 10)
+    return F.try_to_date(head, "yyyy-MM-dd").isNotNull() & (
+        F.substring(text, 1, 4) != "0000"
+    )
+
+
+def _js_format_pred(sstr: Column, fmt: str) -> Optional[Column]:
+    """Predicate for a Draft-7 ``format`` over the STRING value, or
+    ``None`` when the format is ignored (unregistered/interpreter-bound
+    — see the block comment above). Non-strings pass at the caller."""
+    if fmt in ("email", "idn-email"):
+        return sstr.contains("@")
+    if fmt == "date":
+        return sstr.rlike(_JS_DATE_RE) & _calendar_date_ok(sstr)
+    if fmt == "time":
+        return sstr.rlike(_JS_TIME_RE)
+    if fmt == "date-time":
+        return sstr.rlike(_JS_DATETIME_RE) & _calendar_date_ok(sstr)
+    if fmt == "uuid":
+        return sstr.rlike(_JS_UUID_RE)
+    if fmt == "ipv4":
+        return sstr.rlike(_IPV4_RE)
+    if fmt == "ipv6":
+        return sstr.rlike(_IPV6_RE)
+    if fmt == "json-pointer":
+        return sstr.rlike(_JS_JSON_POINTER_RE)
+    if fmt == "relative-json-pointer":
+        return sstr.rlike(_JS_REL_JSON_POINTER_RE)
+    return None
 
 
 def _property_name_pred(pn_schema: dict):
@@ -394,14 +554,19 @@ def _schema_pred(schema: dict, base: Column, path: str) -> Column:
     top-level compile is (e.g. ``pattern`` is vacuous on non-strings).
     Beyond the top-level compile's vocabulary it adds ``const``,
     ``multipleOf``, ``contains``, ``minProperties``/``maxProperties``,
-    boolean ``additionalProperties``, ``propertyNames`` (string
-    keywords over ``json_object_keys``), ``dependencies`` (both the
-    property-list and the sub-schema form) and ``if``/``then``/
-    ``else``. Unsupported keywords (``$ref``, ``patternProperties``,
-    schema-valued ``additionalProperties``, …) and non-scalar
-    ``enum``/``const`` members raise at compile time — a
-    silently-ignored keyword would validate wrongly, which is worse
-    than refusing."""
+    ``additionalProperties`` (boolean AND schema forms — the schema
+    form walks the object as ``map<string, variant>`` entries, the
+    dynamic-key access path-based variant gets can't express),
+    ``patternProperties`` (same entries walk), ``propertyNames``
+    (string keywords over ``json_object_keys``), ``dependencies``
+    (both the property-list and the sub-schema form), tuple-form
+    ``items`` + ``additionalItems``, ``format`` (exact FormatChecker
+    parity, see :func:`_js_format_pred`) and ``if``/``then``/``else``.
+    ``$ref`` must be expanded by :func:`resolve_refs` BEFORE compiling
+    (``compile_json_schema_checks`` does); a raw ``$ref`` here and any
+    other unsupported keyword, like non-scalar ``enum``/``const``
+    members, raise at compile time — a silently-ignored keyword would
+    validate wrongly, which is worse than refusing."""
     for key in schema:
         if key not in _JS_SUPPORTED and key not in _JS_ANNOTATIONS:
             raise ValueError(
@@ -429,6 +594,10 @@ def _schema_pred(schema: dict, base: Column, path: str) -> Column:
         preds.append(_enum_member_pred(members, tag, dbl, sstr))
     if "pattern" in schema:
         preds.append((tag != "string") | sstr.rlike(schema["pattern"]))
+    if "format" in schema:
+        fp = _js_format_pred(sstr, schema["format"])
+        if fp is not None:
+            preds.append((tag != "string") | fp)
     if "multipleOf" in schema:
         m = float(schema["multipleOf"])
         preds.append(not_num | ((dbl % F.lit(m)) == 0))
@@ -451,7 +620,8 @@ def _schema_pred(schema: dict, base: Column, path: str) -> Column:
 
     arr_kw = any(
         k in schema
-        for k in ("minItems", "maxItems", "uniqueItems", "items", "contains")
+        for k in ("minItems", "maxItems", "uniqueItems", "items",
+                  "additionalItems", "contains")
     )
     if arr_kw:
         arr_v = F.try_variant_get(base, path, "array<variant>")
@@ -470,6 +640,38 @@ def _schema_pred(schema: dict, base: Column, path: str) -> Column:
                 )
             )(items)
             preds.append(not_array | F.forall(arr_v, elem))
+        elif isinstance(items, (list, tuple)):
+            # Draft-7 tuple validation: element i against items[i];
+            # absent positions are vacuous (try_element_at, ANSI-safe)
+            for idx, s in enumerate(items):
+                if not isinstance(s, dict):
+                    raise ValueError(
+                        "tuple-form items members must be schema objects"
+                    )
+                el = F.try_element_at(arr_v, F.lit(idx + 1))
+                preds.append(
+                    not_array
+                    | el.isNull()
+                    | F.coalesce(_schema_pred(s, el, "$"), F.lit(False))
+                )
+            ai = schema.get("additionalItems")
+            if ai is False:
+                preds.append(not_array | (F.size(arr_v) <= F.lit(len(items))))
+            elif isinstance(ai, dict):
+                # positions beyond the tuple prefix against the schema
+                n_fixed = len(items)
+                checked = (
+                    lambda s, n: lambda x, i: (i < F.lit(n)) | F.coalesce(
+                        _schema_pred(s, x, "$"), F.lit(False)
+                    )
+                )(ai, n_fixed)
+                preds.append(
+                    not_array
+                    | F.forall(
+                        F.transform(arr_v, checked), lambda b: b
+                    )
+                )
+        # additionalItems without tuple-form items is a Draft-7 no-op
         contains = schema.get("contains")
         if isinstance(contains, dict):
             # Draft-7: at least one element matches (empty arrays fail)
@@ -486,7 +688,7 @@ def _schema_pred(schema: dict, base: Column, path: str) -> Column:
         k in schema
         for k in ("required", "properties", "minProperties",
                   "maxProperties", "additionalProperties",
-                  "propertyNames", "dependencies")
+                  "propertyNames", "patternProperties", "dependencies")
     )
     if obj_kw:
         keys = F.json_object_keys(sub.cast("string"))
@@ -508,24 +710,59 @@ def _schema_pred(schema: dict, base: Column, path: str) -> Column:
         if "maxProperties" in schema:
             m = int(schema["maxProperties"])
             preds.append(keys.isNull() | (F.size(keys) <= F.lit(m)))
-        ap = schema.get("additionalProperties")
-        if ap is False:
-            declared = list((schema.get("properties") or {}).keys())
+        # Draft-7: a key is "covered" (exempt from additionalProperties)
+        # when it is a declared property OR matches any patternProperties
+        # pattern. rlike is an unanchored search — same dialect note as
+        # the pattern keyword.
+        pp = schema.get("patternProperties")
+        if pp is not None and not isinstance(pp, dict):
+            raise ValueError("patternProperties must be an object")
+        pat_list = sorted(pp) if pp else []
+        declared = list((schema.get("properties") or {}).keys())
+
+        def _covered(k: Column) -> Column:
+            c = F.lit(False)
             if declared:
                 lit_arr = F.array(*[F.lit(p) for p in declared])
-                preds.append(
-                    keys.isNull()
-                    | F.forall(keys, lambda k: F.array_contains(lit_arr, k))
-                )
+                c = c | F.array_contains(lit_arr, k)
+            for p in pat_list:
+                c = c | k.rlike(p)
+            return c
+
+        ap = schema.get("additionalProperties")
+        if ap is False:
+            if declared or pat_list:
+                preds.append(keys.isNull() | F.forall(keys, _covered))
             else:
                 preds.append(keys.isNull() | (F.size(keys) == 0))
         elif isinstance(ap, dict):
-            # schema-valued additionalProperties needs value access by a
-            # DYNAMIC key — not expressible with path-based variant gets
-            raise ValueError(
-                "additionalProperties only supports the boolean form "
-                "inside combinator sub-schemas"
+            # schema form: every UNCOVERED key's value must satisfy the
+            # schema — dynamic-key value access via the object's
+            # map<string, variant> entries (path-based gets can't)
+            entries = F.map_entries(
+                F.try_variant_get(base, path, "map<string, variant>")
             )
+            elem = (
+                lambda s: lambda e: _covered(e["key"]) | F.coalesce(
+                    _schema_pred(s, e["value"], "$"), F.lit(False)
+                )
+            )(ap)
+            preds.append(entries.isNull() | F.forall(entries, elem))
+        if pp:
+            entries = F.map_entries(
+                F.try_variant_get(base, path, "map<string, variant>")
+            )
+            for pat, ps in sorted(pp.items()):
+                if not isinstance(ps, dict):
+                    raise ValueError(
+                        "patternProperties sub-schemas must be objects"
+                    )
+                elem = (
+                    lambda s, p: lambda e: (~e["key"].rlike(p)) | F.coalesce(
+                        _schema_pred(s, e["value"], "$"), F.lit(False)
+                    )
+                )(ps, pat)
+                preds.append(entries.isNull() | F.forall(entries, elem))
         pn = schema.get("propertyNames")
         if isinstance(pn, dict) and pn:
             preds.append(
@@ -636,9 +873,13 @@ def compile_json_schema_checks(
     or on any property, composed recursively by :func:`_schema_pred`
     into one fused predicate per combinator (the other round-3 gap;
     reference accepts arbitrary Draft-7 there via ``jsonschema``, ref
-    check.py:559-561). Keywords ``_schema_pred`` does not implement
-    (``$ref``, ``if``/``then``/``else``, ``patternProperties``, …)
-    are rejected at compile time rather than silently ignored.
+    check.py:559-561). Local ``$ref``/``definitions``/``$defs`` are
+    expanded at compile time by :func:`resolve_refs` (recursive refs
+    raise); ``patternProperties``, schema-valued
+    ``additionalProperties``, tuple-form ``items``/``additionalItems``
+    and ``format`` (FormatChecker parity) compile through
+    :func:`_schema_pred`. Keywords it does not implement are rejected
+    at compile time rather than silently ignored.
 
     Every per-property keyword is a no-op when the property is absent
     or the parent is not an object (Draft-7 applicability). All
@@ -651,7 +892,7 @@ def compile_json_schema_checks(
     """
     from .operators.text import let_col
 
-    js = field.constraints.json_schema or {}
+    js = resolve_refs(field.constraints.json_schema or {})
     col = F.col(field.name)
     v = F.try_parse_json(col)
     checks: list[CompiledCheck] = []
@@ -691,6 +932,29 @@ def compile_json_schema_checks(
             "type",
             "value is not a JSON array",
             col.isNull() | (valid & col.rlike(r"^\s*\[")),
+        )
+    elif top_type:
+        # scalar root type (string/integer/number/boolean/null) or a
+        # type LIST — decided on the variant tag via the recursive core
+        shown = top_type if isinstance(top_type, str) else "/".join(top_type)
+
+        def root_type_ok(_t):
+            def ok_of(vv):
+                return (
+                    col.isNull()
+                    | vv.isNull()
+                    | F.coalesce(
+                        _schema_pred({"type": _t}, vv, "$"), F.lit(False)
+                    )
+                )
+
+            return ok_of
+
+        add(
+            "type",
+            "type",
+            f"value is not of type '{shown}'",
+            root_type_ok(top_type),
         )
 
     def walk(node: dict, json_path: str, kind_prefix: str, dotted_prefix: str) -> None:
@@ -923,6 +1187,35 @@ def compile_json_schema_checks(
                         f"{dotted} items do not match the declared item schema",
                         items_ok(rest),
                     )
+            items_l = sub_schema.get("items")
+            if isinstance(items_l, (list, tuple)):
+                # tuple validation (+ additionalItems) via the
+                # recursive core — one fused predicate
+                mini_items = {"items": list(items_l)}
+                if "additionalItems" in sub_schema:
+                    mini_items["additionalItems"] = sub_schema[
+                        "additionalItems"
+                    ]
+
+                def tuple_items_ok(_mini, _path=path):
+                    def ok_of(vv):
+                        sub = F.try_variant_get(vv, _path, "variant")
+                        return (
+                            col.isNull()
+                            | sub.isNull()
+                            | F.coalesce(
+                                _schema_pred(_mini, vv, _path), F.lit(False)
+                            )
+                        )
+
+                    return ok_of
+
+                add(
+                    f"{kprefix}items",
+                    "items",
+                    f"{dotted} items do not match the declared tuple schema",
+                    tuple_items_ok(mini_items),
+                )
             # nested Draft-7 combinators of sub-schemas — each compiles
             # to ONE fused predicate via the recursive _schema_pred, so
             # an anyOf of 4 alternatives is still zero extra scans.
@@ -1000,6 +1293,9 @@ def compile_json_schema_checks(
                 ("additionalProperties",
                  "has properties outside the declared set"),
                 ("propertyNames", "has property names violating the schema"),
+                ("patternProperties",
+                 "has a property violating its pattern schema"),
+                ("format", "does not conform to the declared format"),
                 ("dependencies", "violates a property dependency"),
                 ("if", "violates the conditional schema"),
             ):
@@ -1007,6 +1303,10 @@ def compile_json_schema_checks(
                     continue
                 if kw == "additionalProperties" and sub_schema[kw] is True:
                     continue  # boolean true = Draft-7 default, a no-op
+                if kw == "format" and _js_format_pred(
+                    F.lit("probe"), sub_schema[kw]
+                ) is None:
+                    continue  # unregistered/interpreter-bound: ignored
                 if kw == "if":
                     if not (
                         isinstance(sub_schema.get("then"), dict)
@@ -1019,14 +1319,19 @@ def compile_json_schema_checks(
                         if k in sub_schema
                     }
                 elif kw == "additionalProperties":
-                    # the subset check needs the declared property NAMES
-                    # only — empty sub-schemas validate trivially
+                    # coverage needs the declared property NAMES and the
+                    # patternProperties PATTERNS only — empty sub-schemas
+                    # validate trivially
                     mini = {
                         "additionalProperties": sub_schema[kw],
                         "properties": {
                             p: {} for p in (sub_schema.get("properties") or {})
                         },
                     }
+                    if sub_schema.get("patternProperties"):
+                        mini["patternProperties"] = {
+                            p: {} for p in sub_schema["patternProperties"]
+                        }
                 else:
                     mini = {kw: sub_schema[kw]}
 
@@ -1104,6 +1409,91 @@ def compile_json_schema_checks(
             "value matches the disallowed schema",
             root_not_ok(js["not"]),
         )
+    # root-level extended keywords — same mini-schema mechanism as the
+    # property-level loop, over the whole value at "$"
+    for kw, msg in (
+        ("const", "is not the const value"),
+        ("enum", "is not one of the allowed values"),
+        ("pattern", "does not match the declared pattern"),
+        ("minimum", "is less than the minimum"),
+        ("maximum", "is greater than the maximum"),
+        ("exclusiveMinimum", "is not greater than the exclusive minimum"),
+        ("exclusiveMaximum", "is not less than the exclusive maximum"),
+        ("minLength", "is shorter than the minimum length"),
+        ("maxLength", "is longer than the maximum length"),
+        ("minItems", "has fewer than the minimum items"),
+        ("maxItems", "has more than the maximum items"),
+        ("multipleOf", "is not a multiple of the declared divisor"),
+        ("contains", "has no item matching the contains schema"),
+        ("minProperties", "has fewer properties than the minimum"),
+        ("maxProperties", "has more properties than the maximum"),
+        ("additionalProperties", "has properties outside the declared set"),
+        ("propertyNames", "has property names violating the schema"),
+        ("patternProperties", "has a property violating its pattern schema"),
+        ("format", "does not conform to the declared format"),
+        ("dependencies", "violates a property dependency"),
+        ("if", "violates the conditional schema"),
+    ):
+        if kw not in js:
+            continue
+        if kw == "additionalProperties" and js[kw] is True:
+            continue
+        if kw == "format" and _js_format_pred(F.lit("probe"), js[kw]) is None:
+            continue
+        if kw == "if":
+            if not (
+                isinstance(js.get("then"), dict)
+                or isinstance(js.get("else"), dict)
+            ):
+                continue
+            mini = {
+                k: js[k] for k in ("if", "then", "else") if k in js
+            }
+        elif kw == "additionalProperties":
+            mini = {
+                "additionalProperties": js[kw],
+                "properties": {p: {} for p in (js.get("properties") or {})},
+            }
+            if js.get("patternProperties"):
+                mini["patternProperties"] = {
+                    p: {} for p in js["patternProperties"]
+                }
+        else:
+            mini = {kw: js[kw]}
+
+        def root_ext_ok(_mini):
+            def ok_of(vv):
+                return (
+                    col.isNull()
+                    | vv.isNull()
+                    | F.coalesce(_schema_pred(_mini, vv, "$"), F.lit(False))
+                )
+
+            return ok_of
+
+        add(kw, kw, f"value {msg}", root_ext_ok(mini))
+    # root tuple-form items (+ additionalItems)
+    if isinstance(js.get("items"), (list, tuple)):
+        mini_items = {"items": list(js["items"])}
+        if "additionalItems" in js:
+            mini_items["additionalItems"] = js["additionalItems"]
+
+        def root_tuple_ok(_mini):
+            def ok_of(vv):
+                return (
+                    col.isNull()
+                    | vv.isNull()
+                    | F.coalesce(_schema_pred(_mini, vv, "$"), F.lit(False))
+                )
+
+            return ok_of
+
+        add(
+            "items",
+            "items",
+            "array items do not match the declared tuple schema",
+            root_tuple_ok(mini_items),
+        )
     if js.get("uniqueItems"):
 
         def root_unique_ok(vv):
@@ -1147,7 +1537,10 @@ def compile_json_schema_checks(
             root_items_ok(rest),
         )
 
-    items_required = (js.get("items") or {}).get("required", [])
+    _root_items = js.get("items")
+    items_required = (
+        _root_items.get("required", []) if isinstance(_root_items, dict) else []
+    )
     if items_required:
         from .operators.text import let_col
 

