@@ -9,17 +9,26 @@ merge-table construction of byte/word-pair tokenizers (the reference
 has no tokenizer — this is data-plane scope the north star's
 pre-tokenized tables presuppose).
 
-Scale shape per round: ONE shuffle (the pair-count groupBy with
-map-side combine — identical shape to text.bigram_stats); the winning
-pair is a 1-row collect (bounded driver traffic, like the IVF
-training sample); the merge itself is an Arrow-batched pandas UDF
-applied map-side (a linear array rewrite per document — no shuffle);
-and the lineage is truncated every round with localCheckpoint (the
-same guard operators/cluster.py uses) so N rounds never build an
-N-deep plan. Driver state is the merge table: n_merges tuples.
+Scale shape (r4 verdict "What's wrong" #1): training now runs on a
+BOUNDED DETERMINISTIC SAMPLE on the driver by default — the standard
+tokenizer-training recipe (a merge table needs representative pair
+statistics, not every document; HuggingFace/SentencePiece train on
+bounded corpora for the same reason), and the exact pattern
+``train_ivf_centroids`` already uses for its quantizer sample
+(similarity.py). One Spark job collects ``sample_n`` documents ordered
+by a stable md5 hash (repartition-proof, like sampling.unit_hash);
+the merge loop is then pure Python over the sample — ZERO per-merge
+Spark rounds, zero full-corpus rewrites. Full-corpus tokenization
+stays map-side via :func:`bpe_apply` (the merge table ships in the
+UDF closure). ``sample_n=None`` opts into the exact distributed loop
+(one pair-count shuffle + one map-side rewrite + localCheckpoint per
+merge) — correct at any size but materializes the corpus once per
+merge, so reserve it for small/fixture corpora.
 
 Determinism: ties break (count DESC, pair-a DESC, pair-b DESC) —
-stable under any partitioning, same convention as bigram_stats.
+stable under any partitioning, same convention as bigram_stats; the
+driver loop replicates it exactly, so sample_n >= corpus size
+reproduces the distributed merge table bit-for-bit (pinned by test).
 """
 
 from __future__ import annotations
@@ -49,26 +58,55 @@ def _adjacent_pairs(toks: DataFrame) -> DataFrame:
     )
 
 
+def _merge_pass(tokens: list, a: str, b: str, merged: str) -> list:
+    """One left-to-right merge pass: every non-overlapping (a, b)
+    becomes ``merged`` — shared by the driver trainer and the UDFs."""
+    out = []
+    i, n = 0, len(tokens)
+    while i < n:
+        if i + 1 < n and tokens[i] == a and tokens[i + 1] == b:
+            out.append(merged)
+            i += 2
+        else:
+            out.append(tokens[i])
+            i += 1
+    return out
+
+
 def _merge_udf(a: str, b: str):
     merged = f"{a} {b}"
 
     @F.pandas_udf("array<string>")
     def apply(s: pd.Series) -> pd.Series:
-        def m(tokens):
-            out = []
-            i, n = 0, len(tokens)
-            while i < n:
-                if i + 1 < n and tokens[i] == a and tokens[i + 1] == b:
-                    out.append(merged)
-                    i += 2
-                else:
-                    out.append(tokens[i])
-                    i += 1
-            return out
-
-        return s.apply(m)
+        return s.apply(lambda tokens: _merge_pass(list(tokens), a, b, merged))
 
     return apply
+
+
+def _train_on_tokens(
+    token_lists: list, n_merges: int, min_count: int
+) -> list[tuple[str, str, int]]:
+    """Driver-side merge loop over in-memory token lists — identical
+    counting and tie-break semantics to the distributed loop."""
+    toks = [list(t) for t in token_lists]
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        counts: dict = {}
+        for ts in toks:
+            for i in range(len(ts) - 1):
+                p = (ts[i], ts[i + 1])
+                counts[p] = counts.get(p, 0) + 1
+        if not counts:
+            break
+        (a, b), cnt = max(
+            counts.items(), key=lambda kv: (kv[1], kv[0][0], kv[0][1])
+        )
+        if cnt < min_count:
+            break
+        merges.append((a, b, cnt))
+        merged = f"{a} {b}"
+        toks = [_merge_pass(ts, a, b, merged) for ts in toks]
+    return merges
 
 
 def bpe_train(
@@ -76,6 +114,7 @@ def bpe_train(
     col: str = "text",
     n_merges: int = 10,
     min_count: int = 2,
+    sample_n: Optional[int] = 8192,
 ) -> tuple[list[tuple[str, str, int]], DataFrame]:
     """Learn up to ``n_merges`` word-pair merges from the corpus.
 
@@ -84,13 +123,38 @@ def bpe_train(
     applied (column ``toks: array<string>``; merged tokens join their
     parts with a single space). Stops early when no pair reaches
     ``min_count``.
+
+    ``sample_n`` (default 8192) bounds training to a deterministic
+    md5-ordered document sample processed on the driver — the
+    100 TB-safe path: one Spark collect, no per-merge corpus
+    materialization; merge COUNTS are then sample frequencies.
+    ``sample_n=None`` trains exactly on the full corpus (one shuffle +
+    one checkpointed map-side rewrite per merge).
     """
     words = F.filter(
         F.split(F.lower(F.col(col)), r"\s+"), lambda w: w != F.lit("")
     )
+    if sample_n is not None:
+        t = F.col(col).cast("string")
+        rows = (
+            df.select(words.alias("toks"), t.alias("_t"))
+            .where(F.size("toks") > 0)
+            .orderBy(F.md5(F.col("_t")), F.col("_t"))
+            .limit(int(sample_n))
+            .select("toks")
+            .collect()
+        )
+        merges = _train_on_tokens(
+            [r["toks"] for r in rows], n_merges, min_count
+        )
+        tokenized = bpe_apply(df, merges, col=col, out_col="toks").select(
+            "toks"
+        )
+        return merges, tokenized
+
     toks = df.select(words.alias("toks")).where(F.size("toks") > 0)
     toks = toks.localCheckpoint(eager=True)
-    merges: list[tuple[str, str, int]] = []
+    merges = []
     for _ in range(n_merges):
         top = (
             _adjacent_pairs(toks)
@@ -128,15 +192,7 @@ def bpe_apply(
         def tok(text):
             toks = [w for w in str(text).lower().split() if w]
             for a, b in pairs:
-                merged, out, i, n = f"{a} {b}", [], 0, len(toks)
-                while i < n:
-                    if i + 1 < n and toks[i] == a and toks[i + 1] == b:
-                        out.append(merged)
-                        i += 2
-                    else:
-                        out.append(toks[i])
-                        i += 1
-                toks = out
+                toks = _merge_pass(toks, a, b, f"{a} {b}")
             return toks
 
         return s.apply(tok)

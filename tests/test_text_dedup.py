@@ -423,3 +423,24 @@ def test_bpe_apply_matches_training_tokenization(spark):
     new = spark.createDataFrame([("z a b z",)], "text string")
     (row,) = bpe_apply(new, merges, "text").collect()
     assert row["toks"] == ["z", "a b", "z"]
+
+
+def test_bpe_sample_trained_matches_full_trained(spark):
+    """The scale path: sample_n >= corpus reproduces the exact
+    distributed merge table bit-for-bit (identical counting and
+    tie-break); a PROPER sample still learns the dominant merges."""
+    from check_datapackage_spark.operators.bpe import bpe_train
+
+    rows = [(f"a b mid a b t{i % 5} t{(i + 1) % 5}",) for i in range(60)]
+    df = spark.createDataFrame(rows, "text string")
+    full, _ = bpe_train(df, "text", n_merges=4, sample_n=None)
+    sampled, toks = bpe_train(df, "text", n_merges=4, sample_n=10_000)
+    assert sampled == full
+    # tokenized output is the full corpus, not the sample
+    assert toks.count() == 60
+    # a real subsample: counts differ but the dominant merge survives
+    sub, _ = bpe_train(df, "text", n_merges=1, sample_n=20)
+    assert sub and (sub[0][0], sub[0][1]) == (full[0][0], full[0][1])
+    # repartition-proof sample order
+    sub2, _ = bpe_train(df.repartition(7), "text", n_merges=1, sample_n=20)
+    assert sub == sub2
