@@ -91,12 +91,37 @@ def tdigest_quantiles(
     column: str,
     quantiles: Sequence[float] = (0.25, 0.5, 0.75),
     delta: int = 200,
+    merge_buckets: int = 32,
 ) -> dict[float, float]:
     """Quantiles from merged per-partition t-digests.
 
-    Driver collects only centroids (≤ partitions × delta rows).
-    """
-    cent = partition_digests(df, column, delta).collect()
+    TREE merge (r4 verdict #4): per-partition digests are partially
+    merged in ``merge_buckets`` executor-side groups before the driver
+    sees anything, so the collect is bounded at merge_buckets × delta
+    centroids regardless of task count — a flat partitions × delta
+    collect is fine to ~10^5 tasks but becomes driver traffic at 10^6+.
+    Bucket membership is a pure function of the centroid mean
+    (xxhash64), and every ``_compress`` re-sorts its inputs, so the
+    result stays independent of partition arrival order."""
+    digests = partition_digests(df, column, delta)
+    bucketed = digests.withColumn(
+        "_b",
+        F.pmod(F.xxhash64(F.col("mean").cast("string")), F.lit(merge_buckets)),
+    )
+
+    def partial_merge(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        m, w = _compress(
+            pdf["mean"].to_numpy(dtype=np.float64),
+            pdf["weight"].to_numpy(dtype=np.float64),
+            delta,
+        )
+        return pd.DataFrame({"mean": m, "weight": w})
+
+    cent = (
+        bucketed.groupBy("_b")
+        .applyInPandas(partial_merge, schema="mean double, weight double")
+        .collect()
+    )
     if not cent:
         return {q: float("nan") for q in quantiles}
     means = np.array([r["mean"] for r in cent])
