@@ -100,19 +100,40 @@ def spin(seconds=0.5):
     while time.perf_counter() - t0 < seconds: x += 1
     return x / seconds
 
+def _mspin_worker(seconds):
+    t0 = time.perf_counter(); x = 0
+    while time.perf_counter() - t0 < seconds: x += 1
+    return x / seconds
+
+def mspin(n, seconds=0.5):
+    # v5 (VERDICT r4 #6): N-PROCESS calibration — aggregate iters/s of
+    # n concurrent spinners. The 1-thread spin is blind to the host
+    # refusing n concurrent cores (a window can show a healthy single
+    # thread while 32 threads get 13 cores' worth of cycles); the
+    # per-core rate mspin(n)/n vs mspin(1) makes that squeeze visible
+    # and gateable. Fork pool: workers inherit __main__, no pickling.
+    import multiprocessing as mp
+    with mp.get_context("fork").Pool(n) as pool:
+        rates = pool.map(_mspin_worker, [seconds] * n)
+    return sum(rates)
+
 cal0 = spin(2.0)
+mcal0 = mspin(cores)
 job(%(warm)r)   # warm-up: small data, full plan shape
 job(%(full)r)   # untimed: Janino codegen compile + page cache for FULL plan
-out = []; rcals = []
+out = []; rcals = []; rmcals = []
 for _ in range(runs):
     # v4: bracket EVERY timed run with a short spin — a mid-child host
     # throttle (observed: one 547 s run between 63 s neighbours) is
     # then attributable to its window and excludable post-hoc
-    b = spin()
+    b = spin(); mb = mspin(cores)
     t0 = time.perf_counter(); job(%(full)r); dt = time.perf_counter() - t0
-    rcals.append([b, spin()]); out.append(dt)
+    rcals.append([b, spin()]); rmcals.append([mb, mspin(cores)])
+    out.append(dt)
 print("RESULT " + json.dumps(
-    {"times": out, "run_cals": rcals, "cal": [cal0, spin(2.0)]}))
+    {"times": out, "run_cals": rcals, "run_mcals": rmcals,
+     "cal": [cal0, spin(2.0)], "mcal": [mcal0, mspin(cores)],
+     "cores": cores}))
 spark.stop()
 """
 
@@ -173,55 +194,92 @@ def run_child_gated(
 def measure_ladder(
     lo_cores: int, hi_cores: int, runs: int, cal_frac: float = 0.8
 ) -> dict:
-    # per level: (time, window_cal_rate) pairs — v4 attributes host
-    # throttle to individual runs, not whole children
-    lo: list[tuple[float, float]] = []
-    hi: list[tuple[float, float]] = []
+    # per level: (time, window_cal_rate, window_mcal_aggregate) triples
+    # — v4 attributes host throttle to individual runs; v5 adds the
+    # N-process calibration (VERDICT r4 #6): the 1-thread spin cannot
+    # see the host refusing N concurrent cores, the per-core mspin rate
+    # can. The mcal gate is SELF-REFERENCING per (ladder, level): keep
+    # runs whose per-core rate is >= cal_frac of the best per-core rate
+    # observed at that level this session — no stale constant to rot.
+    lo: list[tuple[float, float, float]] = []
+    hi: list[tuple[float, float, float]] = []
     cals: list[tuple[int, list[float]]] = []
+    mcals: list[tuple[int, list[float]]] = []
     clean = True
     # A-B-B-A: slow host drift lands symmetrically on both levels
     for cores, sink in ((lo_cores, lo), (hi_cores, hi), (hi_cores, hi), (lo_cores, lo)):
         got = run_child_gated(cores, runs, cal_frac)
         rcals = got.get("run_cals") or [got["cal"]] * len(got["times"])
+        rmcals = got.get("run_mcals") or [[0.0, 0.0]] * len(got["times"])
         sink.extend(
-            (t, min(rc)) for t, rc in zip(got["times"], rcals)
+            (t, min(rc), min(mc))
+            for t, rc, mc in zip(got["times"], rcals, rmcals)
         )
         cals.append((cores, got["cal"]))
+        mcals.append((cores, got.get("mcal", [0.0, 0.0])))
         clean = clean and got["cal_ok"]
         print(
             f"child cores={cores}: {['%.1f' % x for x in got['times']]}"
             f" run_cals={[['%.2fM' % (c / 1e6) for c in rc] for rc in rcals]}"
+            f" run_mcals/core={[['%.2fM' % (c / 1e6 / cores) for c in mc] for mc in rmcals]}"
             f" cal_ok={got['cal_ok']}",
             flush=True,
         )
 
     thresh = cal_frac * QUIET_RATE
 
-    def pick(pairs: list[tuple[float, float]]) -> tuple[float, list[float], int]:
-        """median over quiet-window runs; fall back to all runs when
-        fewer than 2 survive the gate (and say so via n_dropped=-1)."""
-        keep = [t for t, c in pairs if c >= thresh]
+    def pick(
+        triples: list[tuple[float, float, float]], cores: int
+    ) -> tuple[float, list[float], int, float]:
+        """median over runs that pass BOTH window gates (1-thread vs
+        quiet reference; N-process vs best observed at this level);
+        fall back to all runs when fewer than 2 survive (n_dropped=-1).
+        Returns (median, kept, n_dropped, best_per_core_mcal)."""
+        best_m = max((m for _, _, m in triples), default=0.0)
+        m_thresh = cal_frac * best_m
+        keep = [
+            t for t, c, m in triples if c >= thresh and m >= m_thresh
+        ]
         if len(keep) >= 2:
-            return statistics.median(keep), keep, len(pairs) - len(keep)
-        allt = [t for t, _ in pairs]
-        return statistics.median(allt), allt, -1
+            return (
+                statistics.median(keep),
+                keep,
+                len(triples) - len(keep),
+                best_m / cores,
+            )
+        allt = [t for t, _, _ in triples]
+        return statistics.median(allt), allt, -1, best_m / cores
 
-    t_lo, lo_keep, lo_drop = pick(lo)
-    t_hi, hi_keep, hi_drop = pick(hi)
-    t_lo_raw = statistics.median([t for t, _ in lo])
-    t_hi_raw = statistics.median([t for t, _ in hi])
+    t_lo, lo_keep, lo_drop, lo_mpc = pick(lo, lo_cores)
+    t_hi, hi_keep, hi_drop, hi_mpc = pick(hi, hi_cores)
+    t_lo_raw = statistics.median([t for t, _, _ in lo])
+    t_hi_raw = statistics.median([t for t, _, _ in hi])
     eff = (t_lo / t_hi) / (hi_cores / lo_cores)
+    # host-delivered core ratio: if the host hands each of hi_cores
+    # spinners only a fraction of what it hands each of lo_cores
+    # spinners, the ceiling on the measurable speedup is delivered
+    # cycles, not the plan — this is the starvation PROOF the r4
+    # adjudication lacked.
+    delivered = (
+        (hi_mpc * hi_cores) / (lo_mpc * lo_cores) if lo_mpc > 0 else 0.0
+    )
     return {
         "lo_cores": lo_cores, "hi_cores": hi_cores,
-        "lo": [t for t, _ in lo], "hi": [t for t, _ in hi],
+        "lo": [t for t, _, _ in lo], "hi": [t for t, _, _ in hi],
         "lo_keep": lo_keep, "hi_keep": hi_keep,
         "lo_drop": lo_drop, "hi_drop": hi_drop,
-        "lo_cals": [c for _, c in lo], "hi_cals": [c for _, c in hi],
+        "lo_cals": [c for _, c, _ in lo], "hi_cals": [c for _, c, _ in hi],
+        "lo_mcals": [m for _, _, m in lo], "hi_mcals": [m for _, _, m in hi],
+        "lo_mpc": lo_mpc, "hi_mpc": hi_mpc,
+        "delivered_core_ratio": delivered,
         "t_lo": t_lo, "t_hi": t_hi,
         "t_lo_raw": t_lo_raw, "t_hi_raw": t_hi_raw,
         "eff": eff,
         "eff_raw": (t_lo_raw / t_hi_raw) / (hi_cores / lo_cores),
-        "cals": cals,
+        "eff_delivered": (
+            (t_lo / t_hi) / delivered if delivered > 0 else None
+        ),
+        "cals": cals, "mcals": mcals,
         "clean": clean and lo_drop == 0 and hi_drop == 0,
         "gated": lo_drop >= 0 and hi_drop >= 0,
     }
@@ -290,6 +348,18 @@ bracketed by rates far below that sat in a host-throttled window):
 N = {', '.join(f'{c / 1e6:.2f}' for c in r.get('lo_cals', []))};
 4N = {', '.join(f'{c / 1e6:.2f}' for c in r.get('hi_cals', []))}.
 Per-child start/end rates: {', '.join(f"{c}c {a / 1e6:.2f}/{b / 1e6:.2f}" for c, (a, b) in r['cals'])}
+
+MULTI-PROCESS calibration (v5): per-run N-process aggregate spin
+rates, per core (M iters/s) — the 1-thread spin is blind to the host
+refusing N concurrent cores; this is not:
+N = {', '.join(f'{m / 1e6 / r["lo_cores"]:.2f}' for m in r.get('lo_mcals', []))};
+4N = {', '.join(f'{m / 1e6 / r["hi_cores"]:.2f}' for m in r.get('hi_mcals', []))}.
+Best per-core rate: N {r.get('lo_mpc', 0) / 1e6:.2f}M, 4N {r.get('hi_mpc', 0) / 1e6:.2f}M →
+**host-delivered core ratio {r.get('delivered_core_ratio', 0):.2f}x**
+(a 4x-core level that only receives {r.get('delivered_core_ratio', 0):.2f}x
+the cycles has a host-imposed speedup ceiling of
+{r.get('delivered_core_ratio', 0):.2f}x{' — the starvation proof for this ladder' if r.get('delivered_core_ratio', 0) < 3.2 and r['hi_cores'] // r['lo_cores'] == 4 else ''});
+efficiency vs DELIVERED cycles = {(r.get('eff_delivered') or 0):.3f}
 """
 
 
@@ -365,6 +435,18 @@ sf0.1 is reported separately by bench.py (BENCH_r*.json).
                         "t_hi_median_s": round(r["t_hi"], 3),
                         "efficiency": round(r["eff"], 3),
                         "efficiency_raw": round(r.get("eff_raw", r["eff"]), 3),
+                        "efficiency_vs_delivered_cycles": (
+                            round(r["eff_delivered"], 3)
+                            if r.get("eff_delivered")
+                            else None
+                        ),
+                        "delivered_core_ratio": round(
+                            r.get("delivered_core_ratio", 0.0), 3
+                        ),
+                        "mcal_per_core_M": [
+                            round(r.get("lo_mpc", 0) / 1e6, 2),
+                            round(r.get("hi_mpc", 0) / 1e6, 2),
+                        ],
                         "runs_dropped": [
                             max(r.get("lo_drop", 0), 0),
                             max(r.get("hi_drop", 0), 0),
