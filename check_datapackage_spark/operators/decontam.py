@@ -124,11 +124,17 @@ def top_word_fraction(col: Column) -> Column:
                 F.lit(0).alias("run"),
                 F.lit(0).alias("mx"),
             ),
-            lambda a, w: F.struct(
-                w.alias("prev"),
-                run(a, w).alias("run"),
-                F.greatest(a.mx, run(a, w)).alias("mx"),
-            ),
+            # run(a, w) let-bound via the nested-transform trick (same
+            # rationale as let_col): unbound it instantiates twice per
+            # element — once for "run", once inside greatest
+            lambda a, w: F.transform(
+                F.array(run(a, w)),
+                lambda r: F.struct(
+                    w.alias("prev"),
+                    r.alias("run"),
+                    F.greatest(a.mx, r).alias("mx"),
+                ),
+            )[0],
             lambda a: a.mx,
         )
         return F.when(F.size(words) <= 0, F.lit(0.0)).otherwise(
