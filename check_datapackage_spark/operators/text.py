@@ -14,6 +14,7 @@ from typing import Optional, Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 
 # Tiny per-language stopword marker sets for the n-gram/stopword
 # heuristic language ID. Deliberately small + deterministic.
@@ -416,4 +417,67 @@ def url_domain_stats(
     out = e.groupBy(by, "domain").agg(F.count(F.lit(1)).alias("n_urls"))
     return out.withColumn(
         "blocked", F.col("domain").isin(bl) if bl else F.lit(False)
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF salient terms (corpus indexing / quality-inspection primitive)
+# ---------------------------------------------------------------------------
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document over the normalized word
+    stream: ``tfidf = tf · ln(N / df)``, rounded to 6 decimals so the
+    ranking is representation-stable across engines; ties break on the
+    term ascending (fully deterministic output).
+
+    Output: (doc_id, rank, term, tf, doc_freq, tfidf).
+
+    Plan (100 TB shape): words explode map-side; shuffle 1 is the
+    canonical combine-backed groupBy(doc, word) term-frequency count.
+    Document frequency comes from a second aggregation OVER THE ALREADY
+    AGGREGATED (doc, word) pairs — never the raw word stream — and
+    joins back on the word key (sort-merge at vocabulary scale; the
+    corpus-size scalar N is a 1-row broadcast). The final top-k window
+    partitions by doc_id over |docs|·|distinct terms per doc| rows.
+    No collect, no UDF, no O(N²) stage.
+    """
+    w = df.select(
+        F.col(id_col),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("w"),
+    )
+    tf = w.groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("doc_freq"))
+    n = df.select(
+        F.count_distinct(F.col(id_col)).alias("_n_docs")
+    )
+    scored = (
+        tf.join(dfreq, "w")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col(id_col),
+            F.col("w").alias("term"),
+            "tf",
+            "doc_freq",
+            F.round(
+                F.col("tf")
+                * F.log(
+                    F.col("_n_docs").cast("double") / F.col("doc_freq")
+                ),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    win = W.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= F.lit(int(k)))
+        .select(id_col, "rank", "term", "tf", "doc_freq", "tfidf")
     )

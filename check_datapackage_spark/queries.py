@@ -3485,6 +3485,120 @@ ORDER BY jsonpath, type, "check"
 """
 
 
+# ---------------------------------------------------------------------------
+# q66 — embedding-column quality validation (vectors.embedding_quality)
+# ---------------------------------------------------------------------------
+
+
+def q66_embedding_quality(spark, sf_dir):
+    """Embedding-column conformance per label
+    (:func:`operators.vectors.embedding_quality`): dimension length,
+    NaN/Inf elements, all-zero vectors, L2-norm range — the
+    array<float> analog of the reference's scalar field-constraint
+    checks (ref check.py constraint dispatch). Corruption planted
+    deterministically from vec_id (NaN tail element / zeroed vector /
+    truncated dim) so every counter is exercised; one fused JVM-side
+    aggregation, no UDF, one shuffle."""
+    from .operators.vectors import embedding_quality
+
+    emb = _t(spark, sf_dir, "embeddings")
+    vid = F.col("vec_id")
+    vec = F.col("embedding")
+    nan_tail = F.concat(
+        F.slice(vec, 1, 63),
+        F.array(F.lit(float("nan")).cast("float")),
+    )
+    staged = emb.select(
+        "vec_id",
+        "label",
+        F.when(vid % 17 == 0, nan_tail)
+        .when(vid % 19 == 0, F.transform(vec, lambda x: F.lit(0.0).cast("float")))
+        .when(vid % 23 == 0, F.slice(vec, 1, 32))
+        .otherwise(vec)
+        .alias("embedding"),
+    )
+    out = embedding_quality(
+        staged, "embedding", by="label",
+        expected_dim=64, norm_lo=0.9, norm_hi=1.1,
+    )
+    return _sorted(out, "label")
+
+
+Q66_SQL = """
+WITH s AS (
+  SELECT vec_id, label,
+    CASE WHEN vec_id % 17 = 0 THEN embedding[1:63] || ['NaN'::FLOAT]
+         WHEN vec_id % 19 = 0 THEN list_transform(embedding, x -> 0.0::FLOAT)
+         WHEN vec_id % 23 = 0 THEN embedding[1:32]
+         ELSE embedding END AS emb
+  FROM embeddings),
+p AS (
+  SELECT label,
+    emb IS NULL AS is_null,
+    len(emb) AS dim,
+    len(list_filter(emb, x -> isnan(CAST(x AS DOUBLE))
+                              OR isinf(CAST(x AS DOUBLE)))) > 0 AS bad,
+    round(sqrt(list_sum(list_transform(emb,
+        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS norm
+  FROM s)
+SELECT label,
+  CAST(COUNT(*) AS BIGINT) AS n_vecs,
+  CAST(SUM(CASE WHEN is_null THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+  CAST(SUM(CASE WHEN NOT is_null AND dim != 64 THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_bad_dim,
+  CAST(SUM(CASE WHEN NOT is_null AND bad THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_nonfinite,
+  CAST(SUM(CASE WHEN NOT is_null AND NOT bad AND norm = 0.0
+       THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+  CAST(SUM(CASE WHEN NOT is_null AND NOT bad AND norm < 0.9
+       THEN 1 ELSE 0 END) AS BIGINT) AS n_norm_lo,
+  CAST(SUM(CASE WHEN NOT is_null AND NOT bad AND norm > 1.1
+       THEN 1 ELSE 0 END) AS BIGINT) AS n_norm_hi,
+  MIN(CASE WHEN NOT is_null AND NOT bad THEN norm END) AS min_norm,
+  MAX(CASE WHEN NOT is_null AND NOT bad THEN norm END) AS max_norm
+FROM p GROUP BY label ORDER BY label
+"""
+
+
+# ---------------------------------------------------------------------------
+# q67 — TF-IDF salient terms per document (text.tfidf_top_terms)
+# ---------------------------------------------------------------------------
+
+
+def q67_tfidf_terms(spark, sf_dir):
+    """Top-3 TF-IDF terms per document (:func:`operators.text.
+    tfidf_top_terms`): the corpus-indexing / template-detection
+    primitive. Scores rounded to 6 decimals before ranking so the
+    ordering is engine-stable; ties break on the term ascending."""
+    docs = _t(spark, sf_dir, "documents")
+    return _sorted(
+        text.tfidf_top_terms(docs, "text", "doc_id", k=3), "doc_id", "rank"
+    )
+
+
+Q67_SQL = r"""
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+  FROM documents),
+w AS (SELECT doc_id, unnest(string_split(t, ' ')) AS w FROM norm),
+tf AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf FROM w GROUP BY 1, 2),
+dfreq AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS doc_freq FROM tf GROUP BY 1),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.w AS term, tf.tf, dfreq.doc_freq,
+         ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.doc_freq), 6)
+           AS tfidf
+  FROM tf JOIN dfreq ON tf.w = dfreq.w CROSS JOIN n),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
+  FROM scored)
+SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf, doc_freq, tfidf
+FROM ranked WHERE rank <= 3
+ORDER BY doc_id, rank
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_profile_lineitem": q02_profile_lineitem,
@@ -3551,6 +3665,8 @@ QUERIES = {
     "q63_reconciliation": q63_reconciliation,
     "q64_order_inversions": q64_order_inversions,
     "q65_json_schema_refs_formats": q65_json_schema_refs_formats,
+    "q66_embedding_quality": q66_embedding_quality,
+    "q67_tfidf_terms": q67_tfidf_terms,
 }
 
 ORACLES = {
@@ -3616,6 +3732,8 @@ ORACLES = {
     "q63_reconciliation": Q63_SQL,
     "q64_order_inversions": Q64_SQL,
     "q65_json_schema_refs_formats": Q65_SQL,
+    "q66_embedding_quality": Q66_SQL,
+    "q67_tfidf_terms": Q67_SQL,
     # q21/q32/q37: rows-only by design — approximate ANN top-k
     # (recall < 1 is intrinsic at honest params) and t-digest sketches
     # have no exact SQL twin.
