@@ -567,3 +567,67 @@ def cross_doc_shingle_dup(
             ).alias("shared_frac"),
         )
     )
+
+
+def source_overlap_matrix(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    k: int = 5,
+) -> DataFrame:
+    """Pairwise shingle-overlap matrix between sources — the
+    train/test-leakage / cross-source-contamination report: for every
+    unordered source pair, how many distinct word-``k``-shingles they
+    share, as a fraction of the smaller source's shingle vocabulary
+    (containment — robust when source sizes are lopsided).
+
+    Output: (src_a, src_b, n_a, n_b, n_shared, overlap) with
+    src_a < src_b.
+
+    Plan (100 TB shape): ONE groupBy(source, gram) distinct pass over
+    the exploded shingle stream (map-side combine); the self-join on
+    the gram key fans out at most |sources|² rows per gram — bounded
+    by the (small) source count, not the corpus; per-source vocabulary
+    sizes are a |sources|-row broadcast. No all-pairs document stage
+    anywhere.
+    """
+    sg = (
+        df.select(
+            F.col(group_col).alias("src"),
+            F.explode(shingles(F.col(text_col), k)).alias("g"),
+        )
+        .groupBy("src", "g")
+        .agg(F.lit(1).alias("_one"))
+        .drop("_one")
+    )
+    sizes = sg.groupBy("src").agg(F.count(F.lit(1)).alias("n"))
+    a = sg.select(F.col("src").alias("src_a"), "g")
+    b = sg.select(F.col("src").alias("src_b"), "g")
+    shared = (
+        a.join(b, "g")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        shared.join(
+            F.broadcast(sizes.select(F.col("src").alias("src_a"), F.col("n").alias("n_a"))),
+            "src_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("src").alias("src_b"), F.col("n").alias("n_b"))),
+            "src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "n_a",
+            "n_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared")
+                / F.least("n_a", "n_b").cast("double"),
+                6,
+            ).alias("overlap"),
+        )
+    )

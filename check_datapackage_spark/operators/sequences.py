@@ -203,3 +203,70 @@ def order_inversions(
             "max_backstep_s"
         ),
     )
+
+
+def funnel_counts(
+    df: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered-funnel completion counts: how many users performed
+    ``steps[0]``, then ``steps[1]`` at-or-after their first
+    ``steps[0]``, and so on — the event-sequence conversion report
+    (first-touch semantics: each step anchors at the user's EARLIEST
+    qualifying occurrence, ties inclusive).
+
+    Output: (step_idx, step, n_users, conversion) where conversion is
+    n_users / previous step's n_users rounded to 6 decimals
+    (step 1 converts from itself = 1.0).
+
+    Plan (100 TB shape): one conditional-min aggregation per step, all
+    keyed on ``user_col`` — |steps|-1 self-joins on the SAME key, so
+    the exchange is reused rather than re-shuffled, and each pass's
+    input after step 1 is the (shrinking) converted-user set joined
+    against one event-type slice (filter pushed to the scan). No
+    collect_list of a user's history (hub-user OOM at scale), no
+    window over raw events.
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    ev = df.select(
+        F.col(user_col).alias("u"), F.col(type_col).alias("t"), us.alias("us")
+    )
+    # anchor: first occurrence of step 0 per user
+    cur = (
+        ev.filter(F.col("t") == steps[0])
+        .groupBy("u")
+        .agg(F.min("us").alias("anchor"))
+        .persist()
+    )
+    held = [cur]
+    counts = [cur.count()]
+    for step in steps[1:]:
+        nxt = (
+            ev.filter(F.col("t") == step)
+            .join(cur, "u")
+            .filter(F.col("us") >= F.col("anchor"))
+            .groupBy("u")
+            .agg(F.min("us").alias("anchor"))
+            .persist()
+        )
+        held.append(nxt)
+        counts.append(nxt.count())
+        cur = nxt
+    for h in held:
+        h.unpersist()
+    spark = df.sparkSession
+    rows = []
+    prev = None
+    for i, (step, n) in enumerate(zip(steps, counts)):
+        # step 1 converts from itself; a dead previous step yields NULL
+        conv = 1.0 if prev is None else (None if prev == 0 else round(n / prev, 6))
+        rows.append((i + 1, step, n, conv))
+        prev = n
+    return spark.createDataFrame(
+        rows, "step_idx int, step string, n_users bigint, conversion double"
+    )

@@ -93,3 +93,77 @@ def embedding_quality(
     ]
     grouped = df.groupBy(by) if by else df.groupBy()
     return grouped.agg(*aggs)
+
+
+def embedding_dim_drift(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    group_col: str = "label",
+    base_group=None,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-dimension mean shift of an embedding column between each
+    group and a baseline group — the vector-space analog of
+    ``drift.drift_by_group`` (a source whose embedding centroid moved
+    is emitting different content; a dimension whose mean collapsed to
+    0 signals an upstream encoder bug).
+
+    Elements are floor-quantized to ``scale`` (int64) BEFORE summation
+    so group sums are order-independent and exact — float addition
+    order would otherwise make the result shuffle-dependent (and
+    engine-dependent); the same integer-arithmetic trick as
+    ``text.hashed_linear_scores``. Means stay in INTEGER micro-units
+    end-to-end: round-half-away(sq/n) computed as
+    ``sign · ((2·|sq| + n) DIV (2·n))`` — pure int64 arithmetic, so
+    the result is bit-identical across engines (a double division
+    rounded to 6 decimals lands on exact ``…5`` boundaries whenever n
+    divides a power of 10, where Spark's decimal-string HALF_UP and
+    DuckDB's binary rounding disagree).
+
+    Output: (group, dim, mean_micro, base_mean_micro, shift_micro)
+    for group ≠ base, all int64 micro-units (value · scale).
+
+    Scale: posexplode fans each row into |dim| elements map-side, but
+    partial aggregation combines them within the task — the shuffle
+    carries |groups|·|dim| longs, not row data. The baseline slice
+    (|dim| rows) broadcasts back. One wide shuffle total.
+    """
+    if base_group is None:
+        raise ValueError("base_group is required")
+    e = df.select(
+        F.col(group_col).alias("grp"),
+        F.posexplode(F.col(vec_col)).alias("_pos", "_x"),
+    )
+    q = e.select(
+        "grp",
+        (F.col("_pos") + 1).alias("dim"),
+        F.floor(F.col("_x").cast("double") * F.lit(int(scale)))
+        .cast("long")
+        .alias("q"),
+    )
+    agg = q.groupBy("grp", "dim").agg(
+        F.sum("q").alias("sq"), F.count(F.lit(1)).alias("n")
+    )
+    # round-half-away(sq/n) in pure int64 (see docstring)
+    mean = F.expr(
+        "CASE WHEN sq >= 0 THEN (2 * sq + n) DIV (2 * n) "
+        "ELSE -((2 * (-sq) + n) DIV (2 * n)) END"
+    )
+    means = agg.select("grp", "dim", mean.alias("mean_micro"))
+    base = (
+        means.filter(F.col("grp") == F.lit(base_group))
+        .select("dim", F.col("mean_micro").alias("base_mean_micro"))
+    )
+    return (
+        means.filter(F.col("grp") != F.lit(base_group))
+        .join(F.broadcast(base), "dim")
+        .select(
+            F.col("grp").alias(group_col),
+            "dim",
+            "mean_micro",
+            "base_mean_micro",
+            F.abs(F.col("mean_micro") - F.col("base_mean_micro")).alias(
+                "shift_micro"
+            ),
+        )
+    )

@@ -3599,6 +3599,133 @@ ORDER BY doc_id, rank
 """
 
 
+# ---------------------------------------------------------------------------
+# q68 — per-dimension embedding drift (vectors.embedding_dim_drift)
+# ---------------------------------------------------------------------------
+
+
+def q68_embedding_dim_drift(spark, sf_dir):
+    """Per-dimension embedding mean shift vs the label-0 baseline
+    (:func:`operators.vectors.embedding_dim_drift`): elements
+    floor-quantized to int64 before summation so group sums are exact
+    and order-independent; means stay in integer micro-units
+    (half-away rounding as pure int64 arithmetic — a double division
+    rounded to 6 decimals hits exact …5 boundaries where Spark and
+    DuckDB round differently); one |groups|·|dim|-long shuffle."""
+    from .operators.vectors import embedding_dim_drift
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = embedding_dim_drift(emb, "embedding", "label", base_group=0)
+    return _sorted(out, "label", "dim")
+
+
+Q68_SQL = """
+WITH e AS (
+  SELECT label, r.dim AS dim,
+         CAST(floor(CAST(embedding[r.dim] AS DOUBLE) * 1000000)
+              AS BIGINT) AS q
+  FROM embeddings, (SELECT unnest(range(1, 65)) AS dim) r),
+s AS (SELECT label, dim, CAST(SUM(q) AS BIGINT) AS sq,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM e GROUP BY 1, 2),
+m AS (SELECT label, dim,
+             CASE WHEN sq >= 0 THEN (2 * sq + n) // (2 * n)
+                  ELSE -((2 * (-sq) + n) // (2 * n)) END AS mean_micro
+      FROM s),
+b AS (SELECT dim, mean_micro AS base_mean_micro FROM m WHERE label = 0)
+SELECT m.label, m.dim,
+       CAST(m.mean_micro AS BIGINT) AS mean_micro,
+       CAST(b.base_mean_micro AS BIGINT) AS base_mean_micro,
+       CAST(abs(m.mean_micro - b.base_mean_micro) AS BIGINT)
+         AS shift_micro
+FROM m JOIN b USING (dim) WHERE m.label != 0
+ORDER BY m.label, m.dim
+"""
+
+
+# ---------------------------------------------------------------------------
+# q69 — cross-source shingle-overlap matrix (dedup.source_overlap_matrix)
+# ---------------------------------------------------------------------------
+
+
+def q69_source_overlap(spark, sf_dir):
+    """Pairwise 5-shingle containment between sources
+    (:func:`operators.dedup.source_overlap_matrix`) — the
+    train/test-leakage matrix: distinct (source, gram) pass, gram-key
+    self-join bounded by |sources|² per gram, broadcast size join."""
+    docs = _t(spark, sf_dir, "documents")
+    out = dedup.source_overlap_matrix(docs, "text", "source", k=5)
+    return _sorted(out, "src_a", "src_b")
+
+
+Q69_SQL = r"""
+WITH norm AS (
+  SELECT source, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+  FROM documents),
+w AS (SELECT source, string_split(t, ' ') AS words FROM norm),
+idx AS (SELECT source, words,
+               unnest(generate_series(1, greatest(len(words)-4, 1))) AS i
+        FROM w),
+sg AS (SELECT DISTINCT source, array_to_string(words[i:i+4], ' ') AS g
+       FROM idx),
+sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM sg GROUP BY 1),
+shared AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM sg a JOIN sg b USING (g)
+  WHERE a.source < b.source GROUP BY 1, 2)
+SELECT src_a, src_b, sa.n AS n_a, sb.n AS n_b, n_shared,
+       ROUND(n_shared / CAST(least(sa.n, sb.n) AS DOUBLE), 6) AS overlap
+FROM shared
+JOIN sizes sa ON sa.source = src_a
+JOIN sizes sb ON sb.source = src_b
+ORDER BY src_a, src_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# q70 — ordered funnel conversion (sequences.funnel_counts)
+# ---------------------------------------------------------------------------
+
+
+def q70_funnel(spark, sf_dir):
+    """view → click → purchase ordered-funnel conversion
+    (:func:`operators.sequences.funnel_counts`): per step one
+    conditional-min aggregation keyed on user_id (first-touch
+    anchors, ties inclusive); no per-user history collection."""
+    from .operators.sequences import funnel_counts
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel_counts(ev, ["view", "click", "purchase"]).orderBy(
+        "step_idx"
+    )
+
+
+Q70_SQL = """
+WITH s1 AS (SELECT user_id, min(epoch_us(ts)) AS a FROM events
+            WHERE event_type = 'view' GROUP BY 1),
+s2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS a
+       FROM events e JOIN s1 ON e.user_id = s1.user_id
+       WHERE e.event_type = 'click' AND epoch_us(e.ts) >= s1.a
+       GROUP BY 1),
+s3 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS a
+       FROM events e JOIN s2 ON e.user_id = s2.user_id
+       WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= s2.a
+       GROUP BY 1),
+c AS (SELECT 1 AS step_idx, 'view' AS step,
+             (SELECT COUNT(*) FROM s1) AS n
+      UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM s2)
+      UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3))
+SELECT CAST(step_idx AS INT) AS step_idx, step,
+       CAST(n AS BIGINT) AS n_users,
+       CASE WHEN step_idx = 1 THEN 1.0
+            ELSE ROUND(CAST(n AS DOUBLE) /
+                       NULLIF(LAG(n) OVER (ORDER BY step_idx), 0), 6)
+       END AS conversion
+FROM c ORDER BY step_idx
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_profile_lineitem": q02_profile_lineitem,
@@ -3667,6 +3794,9 @@ QUERIES = {
     "q65_json_schema_refs_formats": q65_json_schema_refs_formats,
     "q66_embedding_quality": q66_embedding_quality,
     "q67_tfidf_terms": q67_tfidf_terms,
+    "q68_embedding_dim_drift": q68_embedding_dim_drift,
+    "q69_source_overlap": q69_source_overlap,
+    "q70_funnel": q70_funnel,
 }
 
 ORACLES = {
@@ -3734,6 +3864,9 @@ ORACLES = {
     "q65_json_schema_refs_formats": Q65_SQL,
     "q66_embedding_quality": Q66_SQL,
     "q67_tfidf_terms": Q67_SQL,
+    "q68_embedding_dim_drift": Q68_SQL,
+    "q69_source_overlap": Q69_SQL,
+    "q70_funnel": Q70_SQL,
     # q21/q32/q37: rows-only by design — approximate ANN top-k
     # (recall < 1 is intrinsic at honest params) and t-digest sketches
     # have no exact SQL twin.

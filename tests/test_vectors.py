@@ -76,3 +76,83 @@ def test_tfidf_top_terms(spark):
     assert out[(3, 1)].term == "durian"
     assert out[(3, 2)].term == "cherry"
     assert len(out) == 6
+
+
+def test_embedding_dim_drift_exact(spark):
+    rows = [
+        (0, [0.5, -0.25], 0),
+        (1, [0.5, -0.75], 0),
+        (2, [1.0, 1.0], 1),
+        (3, [2.0, 0.0], 1),
+    ]
+    df = spark.createDataFrame(rows, VEC_SCHEMA).withColumnRenamed(
+        "vec_id", "vid"
+    )
+    from check_datapackage_spark.operators.vectors import embedding_dim_drift
+
+    out = {
+        (r.label, r.dim): r
+        for r in embedding_dim_drift(
+            df, "embedding", "label", base_group=0
+        ).collect()
+    }
+    # label 0 dim1 mean 0.5 → 500000; label 1 dim1 mean 1.5 → 1500000
+    assert out[(1, 1)].mean_micro == 1_500_000
+    assert out[(1, 1)].base_mean_micro == 500_000
+    assert out[(1, 1)].shift_micro == 1_000_000
+    # dim2: base mean of (-0.25, -0.75) = -0.5 → -500000 (negative
+    # half-away path); label 1 mean 0.5 → 500000
+    assert out[(1, 2)].base_mean_micro == -500_000
+    assert out[(1, 2)].shift_micro == 1_000_000
+
+
+def test_funnel_counts(spark):
+    from check_datapackage_spark.operators.sequences import funnel_counts
+
+    rows = [
+        # u1 completes a→b→c in order
+        (1, "a", "2024-01-01 00:00:00"),
+        (1, "b", "2024-01-01 00:01:00"),
+        (1, "c", "2024-01-01 00:02:00"),
+        # u2: b BEFORE a — b after-anchor missing → stops at a
+        (2, "b", "2024-01-01 00:00:00"),
+        (2, "a", "2024-01-01 00:01:00"),
+        # u3: a and b simultaneous (ties inclusive) → reaches b
+        (3, "a", "2024-01-01 00:00:00"),
+        (3, "b", "2024-01-01 00:00:00"),
+        # u4: never does a → excluded from step 1
+        (4, "b", "2024-01-01 00:00:00"),
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "event_type", "ts"])
+    ev = ev.withColumn("ts", ev.ts.cast("timestamp"))
+    out = {r.step: r for r in funnel_counts(ev, ["a", "b", "c"]).collect()}
+    assert out["a"].n_users == 3
+    assert out["b"].n_users == 2          # u1 and u3
+    assert out["c"].n_users == 1          # u1
+    assert out["a"].conversion == 1.0
+    assert out["b"].conversion == round(2 / 3, 6)
+    assert out["c"].conversion == 0.5
+
+
+def test_source_overlap_matrix(spark):
+    from check_datapackage_spark.operators.dedup import source_overlap_matrix
+
+    docs = spark.createDataFrame(
+        [
+            (1, "one two three four five six", "s1"),
+            (2, "one two three four five seven", "s2"),
+            (3, "totally different words here now indeed", "s3"),
+        ],
+        ["doc_id", "text", "source"],
+    )
+    out = {
+        (r.src_a, r.src_b): r
+        for r in source_overlap_matrix(docs, "text", "source", k=5).collect()
+    }
+    # s1: shingles {one..five, two..six}; s2: {one..five, two..seven}
+    # → 1 shared of min(2,2)
+    r = out[("s1", "s2")]
+    assert r.n_a == 2 and r.n_b == 2 and r.n_shared == 1
+    assert r.overlap == 0.5
+    # s3 shares nothing → absent from the matrix
+    assert ("s1", "s3") not in out and ("s2", "s3") not in out
