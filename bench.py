@@ -58,6 +58,32 @@ def cpu_calibration(seconds: float = CAL_SECONDS) -> float:
     return x / seconds
 
 
+def _mspin_worker(seconds: float) -> float:
+    t0 = time.perf_counter()
+    x = 0
+    while time.perf_counter() - t0 < seconds:
+        x += 1
+    return x / seconds
+
+
+def mspin(n: int, seconds: float = CAL_SECONDS) -> float:
+    """N-PROCESS calibration: aggregate iters/s of ``n`` concurrent
+    spinners (fork pool — workers only spin, never touch py4j). The
+    1-thread spin is blind to multicore squeeze: a window can show a
+    healthy single thread while n workers split a fraction of n cores
+    (host throttling OR a concurrent local process — the r5 first
+    bench recording measured q13 at 16x its quiet cost with healthy
+    1-thread spins because an 8-core test run shared the box). The
+    per-core rate mspin(n)/n vs the best observed this session makes
+    that squeeze visible and gateable — same v5 protocol as
+    tools/scaling_bench.py."""
+    import multiprocessing as mp
+
+    with mp.get_context("fork").Pool(n) as pool:
+        rates = pool.map(_mspin_worker, [seconds] * n)
+    return sum(rates)
+
+
 def wait_for_quiet(frac: float, max_wait: float) -> float:
     """Spin-check the host speed up to ``max_wait`` s; return the last
     measured iters/sec (which may still be below the bar — callers
@@ -78,7 +104,7 @@ def run_suite(
     cal_frac: float = 0.8,
     max_retries: int = 2,
     retry_budget_s: float = 600.0,
-) -> tuple[dict, dict, dict, list, int]:
+) -> tuple[dict, dict, dict, dict, dict, list, int, list]:
     """Median-of-``runs`` wall-clock per query, calibration-gated.
 
     Each query runs ONCE untimed before its timed runs: the first
@@ -107,10 +133,63 @@ def run_suite(
     times: dict[str, float] = {}
     mins: dict[str, float] = {}
     cals: dict[str, float] = {}
+    mcals: dict[str, float] = {}
     rows: dict[str, int] = {}
     throttled: list[str] = []
     total_rows = 0
     budget = retry_budget_s
+    ncores = spark.sparkContext.defaultParallelism
+    # self-referencing multicore bar (ladder v5): best per-core
+    # N-process rate observed this session — no stale constant
+    best_mpc = mspin(ncores) / ncores
+    def measure(name: str, attempt: int):
+        """One bracketed measurement attempt: (med, mn, cal, mpc, n,
+        stable). Updates best_mpc."""
+        nonlocal best_mpc
+        cal_pre = (
+            wait_for_quiet(cal_frac, max_wait=min(45.0, budget))
+            if attempt
+            else cpu_calibration()
+        )
+        m_pre = mspin(ncores) / ncores
+        samples = []
+        n = 0
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            # toPandas = Arrow-batched result transfer (collect()
+            # serializes row-by-row through py4j — 5-10x slower
+            # for 100k+ row results)
+            n = len(QUERIES[name](spark, sf_dir).toPandas())
+            samples.append(time.perf_counter() - t0)
+            # drop intra-query persists so runs don't reuse each
+            # other's materialized caches (and queries don't
+            # interfere)
+            spark.catalog.clearCache()
+        cal_post = cpu_calibration()
+        m_post = mspin(ncores) / ncores
+        cal = min(cal_pre, cal_post)
+        mpc = min(m_pre, m_post)
+        best_mpc = max(best_mpc, mpc)
+        med, mn = statistics.median(samples), min(samples)
+        stable = (
+            cal >= bar
+            and med <= 1.6 * mn + 0.05
+            # multicore gate: the window delivered < cal_frac of
+            # the best observed per-core N-process rate — another
+            # local process or the host squeezed the cores even
+            # though the 1-thread spin looked healthy (the r5 first
+            # recording measured q13 at 16x quiet that way)
+            and mpc >= cal_frac * best_mpc
+        )
+        return med, mn, cal, mpc, n, stable
+
+    def record(name, med, mn, cal, mpc, n):
+        times[name] = round(med, 3)
+        mins[name] = round(mn, 3)
+        cals[name] = round(cal)
+        mcals[name] = round(mpc)
+        rows[name] = n
+
     for name in names:
         # untimed warm-up: JIT/codegen/Python-worker spinup for THIS
         # query's pipeline (see docstring)
@@ -119,40 +198,36 @@ def run_suite(
         attempt = 0
         while True:
             t_att = time.monotonic()
-            cal_pre = (
-                wait_for_quiet(cal_frac, max_wait=min(45.0, budget))
-                if attempt
-                else cpu_calibration()
-            )
-            samples = []
-            n = 0
-            for _ in range(runs):
-                t0 = time.perf_counter()
-                # toPandas = Arrow-batched result transfer (collect()
-                # serializes row-by-row through py4j — 5-10x slower
-                # for 100k+ row results)
-                n = len(QUERIES[name](spark, sf_dir).toPandas())
-                samples.append(time.perf_counter() - t0)
-                # drop intra-query persists so runs don't reuse each
-                # other's materialized caches (and queries don't
-                # interfere)
-                spark.catalog.clearCache()
-            cal_post = cpu_calibration()
-            cal = min(cal_pre, cal_post)
-            med, mn = statistics.median(samples), min(samples)
-            stable = cal >= bar and med <= 1.6 * mn + 0.05
+            med, mn, cal, mpc, n, stable = measure(name, attempt)
             if stable or attempt >= max_retries or budget <= 0:
                 if not stable:
                     throttled.append(name)
-                times[name] = round(med, 3)
-                mins[name] = round(mn, 3)
-                cals[name] = round(cal)
-                rows[name] = n
+                record(name, med, mn, cal, mpc, n)
                 total_rows += n
                 break
             attempt += 1
             budget -= time.monotonic() - t_att
-    return times, mins, cals, rows, throttled, total_rows
+
+    # RETRO PASS: best_mpc typically RISES through the suite (this
+    # host ramps its delivered cycles for the first minutes of load),
+    # so early queries were gated against a bar that the final best
+    # condemns — the r5 clean run recorded q04 at 4x its quiet cost in
+    # such a window with every gate green at the time. Re-measure each
+    # query whose recorded window falls below the FINAL bar once, keep
+    # the better (faster-median) measurement.
+    final_bar = cal_frac * best_mpc
+    retro = [nm for nm in names if mcals[nm] < final_bar]
+    for name in retro:
+        if budget <= 0:
+            break
+        t_att = time.monotonic()
+        med, mn, cal, mpc, n, stable = measure(name, 1)
+        if med < times[name]:
+            record(name, med, mn, cal, mpc, n)
+            if stable and name in throttled:
+                throttled.remove(name)
+        budget -= time.monotonic() - t_att
+    return times, mins, cals, mcals, rows, throttled, total_rows, retro
 
 
 def main() -> None:
@@ -167,7 +242,7 @@ def main() -> None:
     # warm-up: JVM/codegen/Arrow paths (not timed)
     QUERIES["q02_profile_lineitem"](spark, sf_dir).collect()
 
-    times, mins, cals, rows, throttled, _ = run_suite(
+    times, mins, cals, mcals, rows, throttled, _, retro = run_suite(
         spark, sf_dir, runs=runs, cal_frac=cal_frac
     )
     total = round(sum(times.values()), 3)
@@ -191,6 +266,15 @@ def main() -> None:
         q: round(t * cals[q] / quiet_est, 3) for q, t in times.items()
     }
     total_norm = round(sum(times_norm.values()), 3)
+    # multicore-normalized variant: the 1-thread cal understates how
+    # slow a window was for 32-thread work (delivered-cycles squeeze);
+    # the per-core N-process rate is the honest speed of the window
+    # the Spark job actually saw
+    best_mpc = max(mcals.values(), default=1.0)
+    times_norm_mc = {
+        q: round(t * mcals[q] / best_mpc, 3) for q, t in times.items()
+    }
+    total_norm_mc = round(sum(times_norm_mc.values()), 3)
 
     n_input = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -210,7 +294,12 @@ def main() -> None:
                 "value_min_sum": round(sum(mins.values()), 3),
                 "queries_normalized": times_norm,
                 "value_normalized_sum": total_norm,
+                "queries_normalized_multicore": times_norm_mc,
+                "value_normalized_multicore_sum": total_norm_mc,
+                "mcal_best_per_core": round(best_mpc),
                 "queries_cal_iters_per_sec": cals,
+                "queries_mcal_per_core": mcals,
+                "retro_remeasured_queries": retro,
                 "throttled_queries": throttled,
                 "cal_quiet_reference": QUIET_ITERS_PER_SEC,
                 "cal_quiet_estimated": round(quiet_est),

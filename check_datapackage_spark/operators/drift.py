@@ -231,3 +231,74 @@ def token_histogram(
         .groupBy(*group, "bucket")
         .agg(F.sum("c").alias("count"))
     )
+
+
+def ks_drift_by_group(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    base_group,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic of every group's
+    ``value_col`` distribution against a baseline group:
+    ``KS = max over v of |ECDF_g(v) - ECDF_base(v)|``. The third drift
+    lens next to KL/PSI (:func:`drift_from_histogram`) — KS is
+    binning-free and sensitive to location shifts that coarse buckets
+    hide.
+
+    Output: (group, n, base_n, ks) — ks rounded to 6 decimals.
+
+    Exactness/scale contract: computed on the DISTINCT-VALUE grid, so
+    it is exact for discrete/bounded domains (token counts, lengths,
+    ids — the validation targets). The heavy pass is ONE combine-backed
+    groupBy(group, value); the grid (|domain| × |groups| rows after a
+    broadcast cross join) and the per-group cumulative windows operate
+    on aggregated counts only. For unbounded continuous columns,
+    pre-quantize (the t-digest path covers quantile questions there).
+    """
+    from pyspark.sql import Window as W
+
+    c = df.groupBy(
+        F.col(group_col).alias("grp"), F.col(value_col).alias("v")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    values = c.select("v").distinct()
+    groups = c.select("grp").distinct()
+    totals = c.groupBy("grp").agg(F.sum("c").alias("n"))
+    # dense grid: every group sees the full value domain (missing
+    # values carry the previous cumulative count via the cumsum of 0)
+    grid = values.crossJoin(F.broadcast(groups))
+    filled = grid.join(c, ["grp", "v"], "left").fillna(0, ["c"])
+    cum = filled.withColumn(
+        "cum",
+        F.sum("c").over(
+            W.partitionBy("grp")
+            .orderBy("v")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    base = (
+        cum.filter(F.col("grp") == F.lit(base_group))
+        .select("v", F.col("cum").alias("bcum"))
+    )
+    base_n = (
+        totals.filter(F.col("grp") == F.lit(base_group))
+        .select(F.col("n").alias("base_n"))
+    )
+    return (
+        cum.filter(F.col("grp") != F.lit(base_group))
+        .join(base, "v")
+        .join(F.broadcast(totals), "grp")
+        .crossJoin(F.broadcast(base_n))
+        .groupBy(F.col("grp").alias(group_col), "n", "base_n")
+        .agg(
+            F.round(
+                F.max(
+                    F.abs(
+                        F.col("cum").cast("double") / F.col("n")
+                        - F.col("bcum").cast("double") / F.col("base_n")
+                    )
+                ),
+                6,
+            ).alias("ks")
+        )
+    )

@@ -3726,6 +3726,88 @@ FROM c ORDER BY step_idx
 """
 
 
+# ---------------------------------------------------------------------------
+# q71 — engine-native session windows (streaming.session_window_counts)
+# ---------------------------------------------------------------------------
+
+
+def q71_session_windows(spark, sf_dir):
+    """Per-(user, session) spans via the engine's ``session_window``
+    (:func:`streaming.checks.session_window_counts`) run in batch mode
+    — the same operator streams with a watermark. Oracle: classic
+    gaps-and-islands (lag + ROWS-framed cumulative sum); strict
+    less-than-gap merge semantics, session_end = last event + gap."""
+    from .streaming.checks import session_window_counts
+
+    ev = _t(spark, sf_dir, "events")
+    return _sorted(
+        session_window_counts(ev, gap="30 minutes"),
+        "user_id",
+        "session_start",
+    )
+
+
+Q71_SQL = """
+WITH g AS (
+  SELECT user_id, ts,
+         CASE WHEN LAG(epoch_us(ts)) OVER
+                     (PARTITION BY user_id ORDER BY ts) IS NULL
+                OR epoch_us(ts) - LAG(epoch_us(ts)) OVER
+                     (PARTITION BY user_id ORDER BY ts)
+                   >= 1800 * 1000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events),
+s AS (SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM g)
+SELECT user_id, MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM s GROUP BY user_id, sid
+ORDER BY user_id, session_start
+"""
+
+
+# ---------------------------------------------------------------------------
+# q72 — exact Kolmogorov–Smirnov drift vs baseline (drift.ks_drift_by_group)
+# ---------------------------------------------------------------------------
+
+
+def q72_ks_drift(spark, sf_dir):
+    """Exact two-sample KS statistic of each source's n_chars
+    distribution vs the src0 baseline
+    (:func:`operators.drift.ks_drift_by_group`): binning-free third
+    drift lens next to KL/PSI; one combine-backed (group, value)
+    aggregation, cumulative windows over aggregated counts only."""
+    docs = _t(spark, sf_dir, "documents")
+    out = drift.ks_drift_by_group(docs, "n_chars", "source", "src0")
+    return _sorted(out, "source")
+
+
+Q72_SQL = """
+WITH c AS (SELECT source AS grp, n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c
+           FROM documents GROUP BY 1, 2),
+vals AS (SELECT DISTINCT v FROM c),
+grps AS (SELECT DISTINCT grp FROM c),
+tot AS (SELECT grp, CAST(SUM(c) AS BIGINT) AS n FROM c GROUP BY 1),
+grid AS (SELECT grp, v FROM grps, vals),
+f AS (SELECT g.grp, g.v, COALESCE(c.c, 0) AS c
+      FROM grid g LEFT JOIN c ON c.grp = g.grp AND c.v = g.v),
+cum AS (SELECT grp, v, SUM(c) OVER (PARTITION BY grp ORDER BY v
+          ROWS UNBOUNDED PRECEDING) AS cum FROM f),
+b AS (SELECT v, cum AS bcum FROM cum WHERE grp = 'src0'),
+bn AS (SELECT n AS base_n FROM tot WHERE grp = 'src0')
+SELECT cum.grp AS source, tot.n AS n, bn.base_n AS base_n,
+       ROUND(MAX(ABS(CAST(cum.cum AS DOUBLE) / tot.n
+                     - CAST(b.bcum AS DOUBLE) / bn.base_n)), 6) AS ks
+FROM cum JOIN b USING (v) JOIN tot ON tot.grp = cum.grp CROSS JOIN bn
+WHERE cum.grp != 'src0'
+GROUP BY 1, 2, 3
+ORDER BY source
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_profile_lineitem": q02_profile_lineitem,
@@ -3797,6 +3879,8 @@ QUERIES = {
     "q68_embedding_dim_drift": q68_embedding_dim_drift,
     "q69_source_overlap": q69_source_overlap,
     "q70_funnel": q70_funnel,
+    "q71_session_windows": q71_session_windows,
+    "q72_ks_drift": q72_ks_drift,
 }
 
 ORACLES = {
@@ -3867,6 +3951,8 @@ ORACLES = {
     "q68_embedding_dim_drift": Q68_SQL,
     "q69_source_overlap": Q69_SQL,
     "q70_funnel": Q70_SQL,
+    "q71_session_windows": Q71_SQL,
+    "q72_ks_drift": Q72_SQL,
     # q21/q32/q37: rows-only by design — approximate ANN top-k
     # (recall < 1 is intrinsic at honest params) and t-digest sketches
     # have no exact SQL twin.

@@ -332,3 +332,40 @@ def windowed_drift_monitor(
         sink(out, epoch_id)
 
     return _run
+
+
+def session_window_counts(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: Optional[str] = None,
+) -> DataFrame:
+    """Engine-native session windows (``F.session_window``): one row
+    per (user, session) with the session span and event count.
+    Complements :func:`stateful_session_counts` — here the engine owns
+    the session state (mergeable, RocksDB-backable, late events folded
+    per the watermark) instead of a hand-rolled applyInPandasWithState
+    fold; the operator works identically on a BATCH DataFrame (no
+    watermark), which is how its exact DuckDB oracle runs (q71).
+
+    Session semantics: events belong to one session while each is
+    STRICTLY closer than ``gap`` to the previous; ``session_end`` is
+    the last event's time + gap (Spark's [start, last+gap) contract).
+
+    Scale: one shuffle on the user key; per-key window merging is
+    engine-side and spill-safe. No per-user history materialization.
+    """
+    src = df.withWatermark(ts_col, watermark) if watermark else df
+    return (
+        src.groupBy(
+            F.session_window(F.col(ts_col), gap), F.col(user_col)
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col(user_col),
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )

@@ -396,3 +396,37 @@ def test_drift_monitor_scores_vanished_baseline_bucket(spark):
         0,
     )
     assert got2[0]["psi"] > 5.0
+
+
+def test_session_window_counts_streaming_matches_batch(spark, tmp_path):
+    """Engine-native session_window streaming aggregation agrees with
+    the same operator run in batch mode (q71's served path)."""
+    from check_datapackage_spark.streaming.checks import session_window_counts
+
+    sf = "/root/testdata/sf0.001"
+    src = str(tmp_path / "ev")
+    ev = load(spark, sf, "events")
+    ev.write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+
+    out = session_window_counts(stream, gap="30 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("swc")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.sql("SELECT * FROM swc").collect()
+    }
+    want = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in session_window_counts(ev, gap="30 minutes").collect()
+    }
+    assert got == want and len(want) > 0

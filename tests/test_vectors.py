@@ -156,3 +156,24 @@ def test_source_overlap_matrix(spark):
     assert r.overlap == 0.5
     # s3 shares nothing → absent from the matrix
     assert ("s1", "s3") not in out and ("s2", "s3") not in out
+
+
+def test_ks_drift_exact(spark):
+    from check_datapackage_spark.operators.drift import ks_drift_by_group
+
+    rows = [("b", v) for v in (1, 2, 3, 4)] + [("g", v) for v in (3, 4, 5, 6)]
+    df = spark.createDataFrame(rows, ["src", "x"])
+    out = ks_drift_by_group(df, "x", "src", "b").collect()
+    assert len(out) == 1
+    r = out[0]
+    # ECDFs diverge most at v=2 (0.5 vs 0.0) → KS = 0.5
+    assert r.src == "g" and r.n == 4 and r.base_n == 4 and r.ks == 0.5
+
+
+def test_ks_drift_identical_is_zero(spark):
+    from check_datapackage_spark.operators.drift import ks_drift_by_group
+
+    rows = [(s, v) for s in ("b", "g") for v in (1, 1, 2, 5)]
+    df = spark.createDataFrame(rows, ["src", "x"])
+    r = ks_drift_by_group(df, "x", "src", "b").collect()[0]
+    assert r.ks == 0.0
