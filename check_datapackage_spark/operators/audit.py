@@ -44,11 +44,26 @@ def plan_units(df: DataFrame, partition: str = "source") -> DataFrame:
     return df.select(F.col(partition).alias("source"), "_bucket").distinct()
 
 
-def completed_units(spark: SparkSession, ledger_path: str) -> DataFrame:
-    """Units already recorded complete (any run)."""
-    if not _ledger_exists(ledger_path):
+def _is_table_ident(ledger: str) -> bool:
+    """Catalog table identifier (``catalog.db.ledger``) vs a filesystem
+    path: the Iceberg ledger is addressed as a table, the sandbox
+    parquet ledger as a path."""
+    return "/" not in ledger and "." in ledger
+
+
+def completed_units(spark: SparkSession, ledger: str) -> DataFrame:
+    """Units already recorded complete (any run). ``ledger`` is a
+    parquet directory path, or an Iceberg table identifier when the
+    session has an Iceberg catalog (atomic appends + snapshot reads
+    give exactly-once unit completion on a cluster)."""
+    if _is_table_ident(ledger):
+        if not spark.catalog.tableExists(ledger):
+            return spark.createDataFrame([], "source string, _bucket int")
+        led = spark.read.table(ledger)
+    elif _ledger_exists(ledger):
+        led = spark.read.parquet(ledger)
+    else:
         return spark.createDataFrame([], "source string, _bucket int")
-    led = spark.read.parquet(ledger_path)
     return led.where(F.col("passed").isNotNull()).select(
         "source", F.col("bucket").alias("_bucket")
     ).distinct()
@@ -74,10 +89,16 @@ def filter_to_pending(
 
 
 def record_units(
-    summary_per_unit: DataFrame, ledger_path: str, run_id: Optional[str] = None
+    summary_per_unit: DataFrame, ledger: str, run_id: Optional[str] = None
 ) -> None:
     """Append per-unit metric rows: (run_id, source, bucket, n_rows,
-    n_violations, passed, completed_at_ms)."""
+    n_violations, passed, completed_at_ms).
+
+    ``ledger`` may be a parquet directory path (sandbox) or an Iceberg
+    table identifier (``catalog.db.ledger`` — cluster): the Iceberg
+    branch goes through DataFrameWriterV2 ``createOrReplace``-free
+    ``append`` so concurrent runs commit atomically and a torn run
+    never half-records a unit."""
     run_id = run_id or f"run-{int(time.time() * 1000)}"
     out = summary_per_unit.select(
         F.lit(run_id).alias("run_id"),
@@ -88,7 +109,24 @@ def record_units(
         (F.col("n_violations") == 0).alias("passed"),
         F.lit(int(time.time() * 1000)).alias("completed_at_ms"),
     )
-    out.write.mode("append").parquet(ledger_path)
+    if _is_table_ident(ledger):
+        from pyspark.errors import AnalysisException
+
+        spark = out.sparkSession
+        if not spark.catalog.tableExists(ledger):
+            out.writeTo(ledger).partitionedBy(F.col("source")).create()
+        else:
+            try:
+                out.writeTo(ledger).append()
+            except AnalysisException:
+                # v1 catalog (no Iceberg in the sandbox): the v2 writer
+                # refuses appends — fall back to the v1 append path.
+                # On an Iceberg catalog the v2 branch is the one taken.
+                out.write.mode("append").partitionBy("source").saveAsTable(
+                    ledger
+                )
+    else:
+        out.write.mode("append").parquet(ledger)
 
 
 def unit_summary(df: DataFrame, violations: DataFrame) -> DataFrame:

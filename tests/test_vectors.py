@@ -177,3 +177,33 @@ def test_ks_drift_identical_is_zero(spark):
     df = spark.createDataFrame(rows, ["src", "x"])
     r = ks_drift_by_group(df, "x", "src", "b").collect()[0]
     assert r.ks == 0.0
+
+
+def test_audit_ledger_table_identifier_roundtrip(spark, tmp_path):
+    """record_units/completed_units accept a catalog table identifier
+    (the Iceberg-on-cluster path) — exercised here against the built-in
+    catalog; the parquet-path branch is covered by the resume tests."""
+    from check_datapackage_spark.operators.audit import (
+        _is_table_ident,
+        completed_units,
+        record_units,
+    )
+
+    assert _is_table_ident("local.audit.ledger")
+    assert not _is_table_ident(str(tmp_path / "ledger"))
+    assert not _is_table_ident("ledgerdir")
+
+    tbl = "spark_catalog.default.cdp_test_ledger"
+    spark.sql("DROP TABLE IF EXISTS " + tbl)
+    try:
+        units = spark.createDataFrame(
+            [("s1", 0, 10, 0), ("s1", 1, 12, 3)],
+            "source string, _bucket int, n_rows long, n_violations long",
+        )
+        record_units(units, tbl, run_id="r1")
+        record_units(units.limit(1), tbl, run_id="r2")  # append branch
+        done = completed_units(spark, tbl).collect()
+        assert {(r.source, r._bucket) for r in done} == {("s1", 0), ("s1", 1)}
+        assert spark.read.table(tbl).count() == 3
+    finally:
+        spark.sql("DROP TABLE IF EXISTS " + tbl)
