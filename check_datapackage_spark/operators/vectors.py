@@ -125,8 +125,9 @@ def embedding_dim_drift(
 
     Scale: posexplode fans each row into |dim| elements map-side, but
     partial aggregation combines them within the task — the shuffle
-    carries |groups|·|dim| longs, not row data. The baseline slice
-    (|dim| rows) broadcasts back. One wide shuffle total.
+    carries |groups|·|dim| longs, not row data. The baseline mean is
+    attached via a window over the tiny aggregated table (single
+    instantiation of the heavy subtree). One wide shuffle total.
     """
     if base_group is None:
         raise ValueError("base_group is required")
@@ -150,13 +151,20 @@ def embedding_dim_drift(
         "ELSE -((2 * (-sq) + n) DIV (2 * n)) END"
     )
     means = agg.select("grp", "dim", mean.alias("mean_micro"))
-    base = (
-        means.filter(F.col("grp") == F.lit(base_group))
-        .select("dim", F.col("mean_micro").alias("base_mean_micro"))
-    )
+    # the baseline mean rides a window over the TINY aggregated table
+    # (groups × dims rows) — one instantiation of the heavy subtree,
+    # no reliance on AQE exchange reuse across a self-join
+    from pyspark.sql import Window as W
+
+    base = F.max(
+        F.when(F.col("grp") == F.lit(base_group), F.col("mean_micro"))
+    ).over(W.partitionBy("dim"))
     return (
-        means.filter(F.col("grp") != F.lit(base_group))
-        .join(F.broadcast(base), "dim")
+        means.withColumn("base_mean_micro", base)
+        .filter(
+            (F.col("grp") != F.lit(base_group))
+            & F.col("base_mean_micro").isNotNull()
+        )
         .select(
             F.col("grp").alias(group_col),
             "dim",
