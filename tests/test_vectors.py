@@ -207,3 +207,45 @@ def test_audit_ledger_table_identifier_roundtrip(spark, tmp_path):
         assert spark.read.table(tbl).count() == 3
     finally:
         spark.sql("DROP TABLE IF EXISTS " + tbl)
+
+
+def test_ks_drift_bounds_property(spark):
+    """KS ∈ [0, 1] and monotone sanity over seeded random groups."""
+    import random
+
+    rng = random.Random(7)
+    rows = [("b", rng.randrange(20)) for _ in range(300)] + [
+        ("g", rng.randrange(10, 30)) for _ in range(300)
+    ] + [("h", rng.randrange(20)) for _ in range(300)]
+    from check_datapackage_spark.operators.drift import ks_drift_by_group
+
+    df = spark.createDataFrame(rows, ["src", "x"])
+    out = {r.src: r.ks for r in ks_drift_by_group(df, "x", "src", "b").collect()}
+    assert set(out) == {"g", "h"}
+    assert all(0.0 <= v <= 1.0 for v in out.values())
+    # g is shifted by construction; h is iid with b → far smaller KS
+    assert out["g"] > out["h"]
+
+
+def test_tfidf_rank1_is_argmax(spark):
+    """Property: every doc's rank-1 term attains that doc's max score."""
+    import random
+
+    rng = random.Random(3)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(5, 40))))
+        for i in range(40)
+    ]
+    from check_datapackage_spark.operators.text import tfidf_top_terms
+
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    allterms = tfidf_top_terms(df, "text", "doc_id", k=1000).collect()
+    best = {}
+    for r in allterms:
+        cur = best.get(r.doc_id)
+        if cur is None or r.tfidf > cur:
+            best[r.doc_id] = r.tfidf
+    for r in allterms:
+        if r.rank == 1:
+            assert r.tfidf == best[r.doc_id]
