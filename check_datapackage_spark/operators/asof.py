@@ -100,3 +100,52 @@ def asof_join(
             *lcols, *[f"{c}{suffix}" for c in right_cols], f"{right_ts}{suffix}"
         )
     return out
+
+
+def range_join(
+    facts: DataFrame,
+    intervals: DataFrame,
+    fact_ts: str,
+    start_col: str,
+    end_col: str,
+    keys: Optional[Sequence[str]] = None,
+    bucket_s: int = 3600,
+) -> DataFrame:
+    """Interval/range join — the second temporal join Spark lacks
+    natively (task brief §custom operators, next to :func:`asof_join`):
+    match each fact row to the interval rows with
+    ``start <= fact_ts < end`` on the same ``keys``.
+
+    A naive ``ON ts BETWEEN start AND end`` makes Spark fall back to a
+    broadcast-nested-loop or a cartesian per key — O(|facts|·|intervals|)
+    per key. The scalable shape bucketizes time: facts map to ONE
+    bucket ``floor(ts / bucket_s)``; each interval explodes to the
+    (bounded) buckets it covers via ``sequence`` — so the join is an
+    EQUI-join on (keys…, bucket) with the exact range predicate as a
+    post-filter. Shuffle = |facts| + Σ interval-spans rows on a
+    hashable key; fan-out per interval is ``len/bucket_s + 1``, bounded
+    by choosing ``bucket_s`` near the typical interval length (the
+    documented knob; AQE splits hot (key, bucket) pairs).
+
+    Columns from both sides are kept (interval columns win on name
+    clashes — select/alias beforehand if both sides share payload
+    names). Facts matching no interval are dropped (inner semantics).
+    """
+    keys = list(keys or [])
+    us = F.unix_micros(F.col(fact_ts).cast("timestamp"))
+    width = F.lit(int(bucket_s) * 1_000_000)
+    f = facts.withColumn("_b", (us / width).cast("long"))
+    s_us = F.unix_micros(F.col(start_col).cast("timestamp"))
+    e_us = F.unix_micros(F.col(end_col).cast("timestamp"))
+    iv = intervals.withColumn(
+        "_b",
+        F.explode(
+            F.sequence(
+                (s_us / width).cast("long"), (e_us / width).cast("long")
+            )
+        ),
+    )
+    joined = f.join(iv, keys + ["_b"])
+    return joined.filter(
+        (us >= s_us) & (us < e_us)
+    ).drop("_b")

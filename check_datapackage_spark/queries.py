@@ -3808,6 +3808,60 @@ ORDER BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# q73 — bucketized range join (asof.range_join)
+# ---------------------------------------------------------------------------
+
+
+def q73_range_join(spark, sf_dir):
+    """Assign every event to its session interval via the bucketized
+    range join (:func:`operators.asof.range_join`): equi-join on
+    (user, time-bucket) with the exact range predicate as a
+    post-filter — never a per-key nested loop. Intervals are q71's
+    engine-native session windows; sessions partition each user's
+    timeline, so the assignment is total and unique. Oracle: the
+    per-event session start via gaps-and-islands windows directly."""
+    from .operators.asof import range_join
+    from .streaming.checks import session_window_counts
+
+    ev = _t(spark, sf_dir, "events")
+    sess = session_window_counts(ev, gap="30 minutes").select(
+        "user_id", "session_start", "session_end"
+    )
+    out = range_join(
+        ev.select("event_id", "user_id", "ts"),
+        sess,
+        "ts",
+        "session_start",
+        "session_end",
+        keys=["user_id"],
+        bucket_s=1800,
+    )
+    return _sorted(
+        out.select("event_id", "user_id", "session_start"), "event_id"
+    )
+
+
+Q73_SQL = """
+WITH g AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN LAG(epoch_us(ts)) OVER
+                     (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                OR epoch_us(ts) - LAG(epoch_us(ts)) OVER
+                     (PARTITION BY user_id ORDER BY ts, event_id)
+                   >= 1800 * 1000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events),
+s AS (SELECT event_id, user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM g)
+SELECT event_id, user_id,
+       MIN(ts) OVER (PARTITION BY user_id, sid) AS session_start
+FROM s ORDER BY event_id
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_profile_lineitem": q02_profile_lineitem,
@@ -3881,6 +3935,7 @@ QUERIES = {
     "q70_funnel": q70_funnel,
     "q71_session_windows": q71_session_windows,
     "q72_ks_drift": q72_ks_drift,
+    "q73_range_join": q73_range_join,
 }
 
 ORACLES = {
@@ -3953,6 +4008,7 @@ ORACLES = {
     "q70_funnel": Q70_SQL,
     "q71_session_windows": Q71_SQL,
     "q72_ks_drift": Q72_SQL,
+    "q73_range_join": Q73_SQL,
     # q21/q32/q37: rows-only by design — approximate ANN top-k
     # (recall < 1 is intrinsic at honest params) and t-digest sketches
     # have no exact SQL twin.

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import math
 
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from check_datapackage_spark.operators.text import tfidf_top_terms
@@ -249,3 +250,34 @@ def test_tfidf_rank1_is_argmax(spark):
     for r in allterms:
         if r.rank == 1:
             assert r.tfidf == best[r.doc_id]
+
+
+def test_range_join_boundaries(spark):
+    """[start, end) semantics, cross-bucket intervals, no-match drop."""
+    from check_datapackage_spark.operators.asof import range_join
+
+    facts = spark.createDataFrame(
+        [
+            (1, "k", "2024-01-01 00:00:00"),   # == start → in
+            (2, "k", "2024-01-01 01:59:59"),   # inside, 2nd bucket
+            (3, "k", "2024-01-01 02:00:00"),   # == end → out
+            (4, "k", "2023-12-31 23:59:59"),   # before → out
+            (5, "z", "2024-01-01 00:30:00"),   # wrong key → out
+        ],
+        ["fact_id", "k", "ts"],
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    iv = spark.createDataFrame(
+        [("k", "2024-01-01 00:00:00", "2024-01-01 02:00:00")],
+        ["k", "s", "e"],
+    ).select(
+        "k",
+        F.col("s").cast("timestamp").alias("s"),
+        F.col("e").cast("timestamp").alias("e"),
+    )
+    got = sorted(
+        r.fact_id
+        for r in range_join(
+            facts, iv, "ts", "s", "e", keys=["k"], bucket_s=3600
+        ).collect()
+    )
+    assert got == [1, 2]
