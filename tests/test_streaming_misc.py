@@ -430,3 +430,52 @@ def test_session_window_counts_streaming_matches_batch(spark, tmp_path):
         for r in session_window_counts(ev, gap="30 minutes").collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_range_join_stream_static_enrichment(spark, tmp_path):
+    """range_join works unchanged as a STREAMING enrichment: streaming
+    facts equi-join the static interval table on (key, bucket) — the
+    bucketized form is what makes the range predicate streamable (a
+    raw BETWEEN against a stream is a disallowed non-equi join)."""
+    from check_datapackage_spark.operators.asof import range_join
+    from check_datapackage_spark.streaming.checks import session_window_counts
+
+    sf = "/root/testdata/sf0.001"
+    src = str(tmp_path / "ev")
+    ev = load(spark, sf, "events")
+    ev.write.parquet(src)
+    sess = session_window_counts(ev, gap="30 minutes").select(
+        "user_id", "session_start", "session_end"
+    )
+
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src).select(
+        "event_id", "user_id", "ts"
+    )
+    out = range_join(
+        stream, sess, "ts", "session_start", "session_end",
+        keys=["user_id"], bucket_s=1800,
+    ).select("event_id", "session_start")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("rj")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r.event_id, r.session_start)
+        for r in spark.sql("SELECT * FROM rj").collect()
+    }
+    want = {
+        (r.event_id, r.session_start)
+        for r in range_join(
+            ev.select("event_id", "user_id", "ts"), sess, "ts",
+            "session_start", "session_end",
+            keys=["user_id"], bucket_s=1800,
+        ).select("event_id", "session_start").collect()
+    }
+    assert got == want and len(want) == ev.count()
