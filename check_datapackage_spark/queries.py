@@ -3862,6 +3862,58 @@ FROM s ORDER BY event_id
 """
 
 
+# ---------------------------------------------------------------------------
+# q74 — per-source unigram entropy (vocabulary concentration lens)
+# ---------------------------------------------------------------------------
+
+
+def q74_vocab_entropy(spark, sf_dir):
+    """Shannon entropy of each source's word distribution (nats) —
+    the vocabulary-concentration signal next to TTR/hapax (q47): a
+    source whose entropy collapses is emitting templated spam. The
+    divergence math runs over the AGGREGATED (source, word, count)
+    table (same shape as the KL/PSI queries): one combine-backed word
+    count shuffle, entropy from counts, rounded to 6 decimals."""
+    docs = _t(spark, sf_dir, "documents")
+    w = docs.select(
+        "source",
+        F.explode(
+            F.split(text.normalize_text(F.col("text")), " ")
+        ).alias("w"),
+    )
+    wc = w.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        wc.groupBy("source")
+        .agg(
+            F.sum("c").alias("n_words"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.round(
+                F.log(F.sum("c").cast("double"))
+                - F.sum(F.col("c").cast("double") * F.log(F.col("c").cast("double")))
+                / F.sum("c").cast("double"),
+                6,
+            ).alias("entropy"),
+        )
+        .orderBy("source")
+    )
+
+
+Q74_SQL = r"""
+WITH norm AS (
+  SELECT source, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+  FROM documents),
+w AS (SELECT source, unnest(string_split(t, ' ')) AS w FROM norm),
+wc AS (SELECT source, w, COUNT(*) AS c FROM w GROUP BY 1, 2)
+SELECT source,
+       CAST(SUM(c) AS BIGINT) AS n_words,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       ROUND(ln(CAST(SUM(c) AS DOUBLE))
+             - SUM(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)))
+               / CAST(SUM(c) AS DOUBLE), 6) AS entropy
+FROM wc GROUP BY source ORDER BY source
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_profile_lineitem": q02_profile_lineitem,
@@ -3936,6 +3988,7 @@ QUERIES = {
     "q71_session_windows": q71_session_windows,
     "q72_ks_drift": q72_ks_drift,
     "q73_range_join": q73_range_join,
+    "q74_vocab_entropy": q74_vocab_entropy,
 }
 
 ORACLES = {
@@ -4009,6 +4062,7 @@ ORACLES = {
     "q71_session_windows": Q71_SQL,
     "q72_ks_drift": Q72_SQL,
     "q73_range_join": Q73_SQL,
+    "q74_vocab_entropy": Q74_SQL,
     # q21/q32/q37: rows-only by design — approximate ANN top-k
     # (recall < 1 is intrinsic at honest params) and t-digest sketches
     # have no exact SQL twin.
