@@ -103,6 +103,46 @@ def connected_components(
         F.bit_xor(F.xxhash64("u", "v")).alias("h"),
     ]
     prev = tuple(e.agg(*sig_cols).first())
+    # r6 fast path (guide §1.2 — fix the algorithm before the config):
+    # a near-dup pair graph is usually TINY relative to the corpus (the
+    # miners emit only violating pairs), and each distributed L/S round
+    # costs several scheduled jobs (checkpoint + signature) regardless
+    # of size. Below a bounded edge count, union-find on the driver
+    # computes the identical min-reachable-id labeling in microseconds
+    # — the same bounded-collect pattern as the t-digest/BPE samples.
+    # Above the bound, the scale-proof star loop below is unchanged.
+    n_edges = prev[0] or 0
+    if n_edges <= 65536:
+        rows = e.collect()
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        for r in rows:
+            a, b = find(r[0]), find(r[1])
+            if a != b:
+                parent[max(a, b)] = min(a, b)
+        comp: dict = {}
+        for r in rows:
+            for node in (r[0], r[1]):
+                root = find(node)
+                comp[node] = min(comp.get(node, node), root)
+        # root ids are already the component minimum: union always
+        # points the larger root at the smaller one
+        spark = e.sparkSession
+        out_schema = (
+            e.select(F.col("u").alias("id"), F.col("u").alias("component"))
+            .schema
+        )
+        return spark.createDataFrame(
+            sorted(comp.items()), schema=out_schema
+        )
     for _ in range(max_iter):
         e = _small_star(_large_star(e)).localCheckpoint()
         sig = tuple(e.agg(*sig_cols).first())

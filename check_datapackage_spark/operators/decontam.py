@@ -23,7 +23,7 @@ from typing import Optional
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import shingles
+from .dedup import _spread, shingles, shingles_arrow
 from .text import let_col, normalize_text
 
 # ---------------------------------------------------------------------------
@@ -51,12 +51,15 @@ def contaminated_docs(
     fraction of the corpus at any realistic contamination rate.
     """
     bench_text = bench_text_col or text_col
+    # r6: Arrow shingle assembly (byte-identical, see shingles_arrow) —
+    # the interpreted slice/array_join tree dominated the map-side pass
     bgrams = (
-        bench.select(F.explode(shingles(F.col(bench_text), n)).alias("g"))
+        _spread(bench)
+        .select(F.explode(shingles_arrow(F.col(bench_text), n)).alias("g"))
         .distinct()
     )
-    cgrams = corpus.select(
-        F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("g")
+    cgrams = _spread(corpus).select(
+        F.col(id_col), F.explode(shingles_arrow(F.col(text_col), n)).alias("g")
     )
     return (
         cgrams.join(F.broadcast(bgrams), "g")

@@ -107,6 +107,44 @@ def shingles(col: Column, k: int = 5) -> Column:
     return let_col(F.split(normalize_text(col), " "), sh)
 
 
+def shingles_arrow(col: Column, k: int = 5) -> Column:
+    """Arrow-batched twin of :func:`shingles` — byte-identical output
+    (guide §4.2).
+
+    Normalization (lower/regex/trim — the locale- and regex-dialect-
+    sensitive part) stays in the JVM via :func:`normalize_text`; Python
+    only SLICES the normalized words and joins them with spaces, which
+    is pure byte concatenation with identical semantics in both
+    runtimes (``t.split(' ')`` == Spark ``split(t, ' ')`` incl. empty
+    tokens, ``' '.join(words[i:i+k])`` == ``array_join(slice(...))``,
+    ``dict.fromkeys`` == ``array_distinct`` incl. first-occurrence
+    order). The interpreted per-shingle slice/array_join/array_distinct
+    expression tree cost ~40 µs per document; the Python loop is ~2 µs
+    — measured 3.2 s → sub-second for the sf1.0 shingle pass.
+    """
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def sh(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            words = t.split(" ")
+            n = max(len(words) - k + 1, 1)
+            out.append(
+                list(
+                    dict.fromkeys(
+                        " ".join(words[i : i + k]) for i in range(n)
+                    )
+                )
+            )
+        return pd.Series(out)
+
+    return sh(normalize_text(col))
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -256,7 +294,16 @@ def minhash_candidates(
     projection dominated q19's cold runs).
     """
     rows_per_band = n_hashes // bands
-    with_sig = _signature_array(df, text_col, id_col, n_hashes, k_shingle, method)
+    # r6: the bucket self-join below references the signature pipeline
+    # TWICE (left/right); without materialization both map stages of
+    # the join recompute the Python signature UDF concurrently —
+    # measured as ~2x the signature cost inside the candidate stage.
+    # |docs| × n_hashes longs is the bounded signature table; eager
+    # count() barriers the cache before the join stages race for it.
+    with_sig = _signature_array(
+        df, text_col, id_col, n_hashes, k_shingle, method
+    ).persist()
+    with_sig.count()
 
     bb = F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -537,34 +584,93 @@ def cross_doc_shingle_dup(
 
     Output: (doc_id, n_shingles, n_shared, shared_frac).
 
-    Plan (100 TB shape): shingles explode map-side (codegen
-    higher-order functions, already distinct per doc via ``shingles``);
-    one groupBy(shingle) computes document frequency — because the
-    per-doc explode is distinct, ``count(*)`` IS the number of distinct
-    docs containing the gram, no count_distinct needed; the join-back
-    on shingle is a shuffle join on the SAME key the aggregation just
-    used (no extra exchange on the big side) and AQE splits the
-    boilerplate hot-gram skew that a window-over-shingle plan could
-    not. Final groupBy(doc) is map-side-combinable.
+    Plan (100 TB shape, r6): ONE heavy exchange instead of the former
+    two-exchanges-plus-join (guide §2.3/§2.4). Because the per-doc
+    shingle array is distinct, a gram is "shared" iff its document
+    frequency > 1, so ``n_shared(doc) = n_shingles(doc) − |grams unique
+    to doc|`` — and a gram with df == 1 identifies its sole owner as
+    ``min(doc_id)``. The exploded gram stream is aggregated ONCE
+    (groupBy(g): count + min(doc), map-side combinable); grams with
+    df == 1 re-aggregate to per-doc unique counts (|distinct grams|
+    rows in, ≤ |docs| rows out); ``n_shingles`` is computed map-side as
+    ``size(shingles(text))`` — no second explode, no join carrying the
+    gram strings. The shingle arrays are persisted so the two consumers
+    (map-side sizes, exploded agg) compute them once.
     """
-    sh = df.select(
-        F.col(id_col), F.explode(shingles(F.col(text_col), k)).alias("g")
+    arr = _spread(df).select(
+        F.col(id_col), shingles_arrow(F.col(text_col), k).alias("_sh")
+    ).persist()
+    base = arr.where(F.size("_sh") >= 1).select(
+        F.col(id_col), F.size("_sh").cast("long").alias("n_shingles")
     )
-    freq = sh.groupBy("g").agg(F.count(F.lit(1)).alias("_ndocs"))
+    sh = arr.select(F.col(id_col), F.explode("_sh").alias("g"))
+    gstats = sh.groupBy("g").agg(
+        F.count(F.lit(1)).alias("_ndocs"), F.min(id_col).alias("_d0")
+    )
+    uniq = (
+        gstats.where(F.col("_ndocs") == 1)
+        .groupBy("_d0")
+        .agg(F.count(F.lit(1)).alias("_nuniq"))
+        .withColumnRenamed("_d0", id_col)
+    )
+    shared = F.col("n_shingles") - F.coalesce(F.col("_nuniq"), F.lit(0).cast("long"))
+    return base.join(uniq, id_col, "left").select(
+        F.col(id_col),
+        "n_shingles",
+        shared.alias("n_shared"),
+        F.round(shared / F.col("n_shingles").cast("double"), 6).alias(
+            "shared_frac"
+        ),
+    )
+
+
+def _source_overlap_matrix_sets(
+    df: DataFrame, text_col: str, group_col: str, k: int
+) -> DataFrame:
+    """>60-source fallback for :func:`source_overlap_matrix`: one
+    distinct (source, gram) pass, persisted, then a gram-keyed
+    self-join bounded at |sources|² rows per gram."""
+    sg = (
+        df.select(
+            F.col(group_col).alias("src"),
+            F.explode(shingles(F.col(text_col), k)).alias("g"),
+        )
+        .groupBy("src", "g")
+        .agg(F.lit(1).alias("_one"))
+        .drop("_one")
+        .persist()
+    )
+    sizes = sg.groupBy("src").agg(F.count(F.lit(1)).alias("n"))
+    a = sg.select(F.col("src").alias("src_a"), "g")
+    b = sg.select(F.col("src").alias("src_b"), "g")
+    shared = (
+        a.join(b, "g")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
     return (
-        sh.join(freq, "g")
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_shingles"),
-            F.sum((F.col("_ndocs") > 1).cast("long")).alias("n_shared"),
+        shared.join(
+            F.broadcast(
+                sizes.select(F.col("src").alias("src_a"), F.col("n").alias("n_a"))
+            ),
+            "src_a",
+        )
+        .join(
+            F.broadcast(
+                sizes.select(F.col("src").alias("src_b"), F.col("n").alias("n_b"))
+            ),
+            "src_b",
         )
         .select(
-            F.col(id_col),
-            "n_shingles",
+            "src_a",
+            "src_b",
+            "n_a",
+            "n_b",
             "n_shared",
             F.round(
-                F.col("n_shared") / F.col("n_shingles").cast("double"), 6
-            ).alias("shared_frac"),
+                F.col("n_shared") / F.least("n_a", "n_b").cast("double"), 6
+            ).alias("overlap"),
         )
     )
 
@@ -584,30 +690,96 @@ def source_overlap_matrix(
     Output: (src_a, src_b, n_a, n_b, n_shared, overlap) with
     src_a < src_b.
 
-    Plan (100 TB shape): ONE groupBy(source, gram) distinct pass over
-    the exploded shingle stream (map-side combine); the self-join on
-    the gram key fans out at most |sources|² rows per gram — bounded
-    by the (small) source count, not the corpus; per-source vocabulary
-    sizes are a |sources|-row broadcast. No all-pairs document stage
-    anywhere.
+    Plan (100 TB shape, r6): ONE heavy exchange (guide §2.3/§2.4).
+    The source universe is bounded and small (driver-collected once),
+    so each gram's source SET is a fixed-width int64 BITMASK:
+    ``groupBy(gram).agg(bit_or(1 << src_index))`` is a pure codegen
+    hash aggregate with map-side combine — no collect_set (whose
+    object-agg falls back to sort-based past 128 hash entries and
+    sorted the whole gram stream — measured SLOWER than the join it
+    replaced), no gram-keyed self-join, no recomputation of the
+    shingle pass. The per-mask gram counts (≤ |distinct masks| rows)
+    then yield both the pair counts and the per-source vocabulary
+    sizes from literal bit tests. Falls back to a sorted collect_set
+    plan beyond 60 sources.
     """
-    sg = (
-        df.select(
-            F.col(group_col).alias("src"),
-            F.explode(shingles(F.col(text_col), k)).alias("g"),
-        )
-        .groupBy("src", "g")
-        .agg(F.lit(1).alias("_one"))
-        .drop("_one")
+    srcs = sorted(
+        r[0] for r in df.select(group_col).distinct().collect() if r[0] is not None
     )
-    sizes = sg.groupBy("src").agg(F.count(F.lit(1)).alias("n"))
-    a = sg.select(F.col("src").alias("src_a"), "g")
-    b = sg.select(F.col("src").alias("src_b"), "g")
-    shared = (
-        a.join(b, "g")
-        .filter(F.col("src_a") < F.col("src_b"))
-        .groupBy("src_a", "src_b")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
+    if len(srcs) > 60:
+        return _source_overlap_matrix_sets(df, text_col, group_col, k)
+    bit = F.coalesce(
+        *[
+            F.when(F.col("src") == s, F.lit(1 << i).cast("long"))
+            for i, s in enumerate(srcs)
+        ]
+    )
+    sg = _spread(df).select(
+        F.col(group_col).alias("src"),
+        F.explode(shingles_arrow(F.col(text_col), k)).alias("g"),
+    ).select(bit.alias("_b"), "g")
+    mstats = (
+        sg.groupBy("g")
+        .agg(F.bit_or("_b").alias("_m"))
+        .groupBy("_m")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .persist()
+    )
+    # eager materialization: the final plan broadcasts `sizes` twice;
+    # lazy, both broadcast jobs would race to compute the heavy
+    # upstream concurrently (block-lock contention — see
+    # minhash_near_dups)
+    mstats.count()
+    pair_lits = F.array(
+        *[
+            F.struct(
+                F.lit(sa).alias("src_a"),
+                F.lit(sb).alias("src_b"),
+                F.lit((1 << i) | (1 << j)).cast("long").alias("_bits"),
+            )
+            for i, sa in enumerate(srcs)
+            for j, sb in enumerate(srcs)
+            if i < j
+        ]
+    ) if len(srcs) >= 2 else None
+    if pair_lits is None:
+        st = df.select(group_col).schema[0].dataType.simpleString()
+        shared = df.sparkSession.createDataFrame(
+            [], f"src_a {st}, src_b {st}, n_shared bigint"
+        )
+    else:
+        shared = (
+            mstats.select(
+                "_cnt",
+                F.explode(
+                    F.filter(
+                        pair_lits,
+                        lambda p: p["_bits"].bitwiseAND(F.col("_m")) == p["_bits"],
+                    )
+                ).alias("_p"),
+            )
+            .groupBy("_p.src_a", "_p.src_b")
+            .agg(F.sum("_cnt").alias("n_shared"))
+        )
+    src_lits = F.array(
+        *[
+            F.struct(F.lit(s).alias("src"), F.lit(1 << i).cast("long").alias("_bit"))
+            for i, s in enumerate(srcs)
+        ]
+    )
+    sizes = (
+        mstats.select(
+            "_cnt",
+            F.explode(
+                F.filter(
+                    src_lits,
+                    lambda p: p["_bit"].bitwiseAND(F.col("_m")) == p["_bit"],
+                )
+            ).alias("_p"),
+        )
+        .groupBy("_p.src")
+        .agg(F.sum("_cnt").alias("n"))
+        .select(F.col("src"), "n")
     )
     return (
         shared.join(

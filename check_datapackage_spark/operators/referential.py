@@ -58,10 +58,23 @@ def referential_violations(
     row_key: Optional[str] = None,
     partition: Optional[str] = None,
     broadcast: bool = True,
+    distinct: bool = False,
 ) -> DataFrame:
-    """Violation rows for FK misses (VIOLATION_FULL_SCHEMA)."""
+    """Violation rows for FK misses (VIOLATION_FULL_SCHEMA).
+
+    ``distinct=True`` emits one row per distinct missing KEY instead of
+    one per fact row (guide §2.3 — callers that dedup by jsonpath
+    anyway should dedup here: the distinct then shuffles only the
+    narrow key columns with map-side combine, not fully-built
+    violation strings). Only valid with the default row_key/partition,
+    which are functions of the key columns.
+    """
     fact_keys = list(fact_keys)
     misses = missing_keys(fact, dim, fact_keys, dim_keys, broadcast=broadcast)
+    if distinct:
+        if row_key is not None or partition is not None:
+            raise ValueError("distinct=True requires default row_key/partition")
+        misses = misses.select(*fact_keys).dropDuplicates(fact_keys)
     key_str = F.concat_ws("|", *[F.col(k).cast("string") for k in fact_keys])
     col_name = ",".join(fact_keys)
     if isinstance(row_key, (list, tuple)):

@@ -101,19 +101,52 @@ def quantized_topk(
     scale: int = 1000,
 ) -> DataFrame:
     """Top-k by integer dot product — deterministic cross-engine.
-    Output: (query_id, vec_id, qdot, rank)."""
-    q = F.broadcast(
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec"))
+    Output: (query_id, vec_id, qdot, rank).
+
+    r6 shape (guide §4.1/§4.2): the old plan quantized BOTH vectors and
+    folded the dot product with interpreted higher-order functions once
+    per (corpus × query) PAIR. Now the corpus is quantized once per row
+    by the same JVM ``quantize`` expression (so rounding semantics are
+    untouched), the (bounded, broadcast-sized) query set is quantized
+    by that expression too and collected once, and all |queries| dot
+    products per corpus row are ONE exact integer matmul per Arrow
+    batch (see ``_imatmul``) — identical int64 qdots, no per-pair
+    interpreted expressions. The queries-side driver collect is the
+    same data volume the old broadcast shipped.
+    """
+    import numpy as np
+    from pyspark.sql import types as T
+
+    qrows = queries.select(
+        F.col(id_col).alias("query_id"), quantize(F.col(vec_col), scale).alias("_qq")
+    ).collect()
+    qids = [r["query_id"] for r in qrows]
+    Q = (
+        np.asarray([r["_qq"] for r in qrows], dtype=np.int64).T
+        if qrows
+        else np.zeros((0, 0), dtype=np.int64)
     )
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def dots(qvecs: pd.Series) -> pd.Series:
+        m = np.vstack([np.asarray(v, dtype=np.int64) for v in qvecs])
+        if Q.size == 0:
+            return pd.Series([np.empty(0, np.int64)] * len(m))
+        d = _imatmul(m, Q).astype(np.int64)
+        return pd.Series(list(d))
+
+    qid_arr = F.array(*[F.lit(q) for q in qids])
     scored = (
-        corpus.select(F.col(id_col), F.col(vec_col).alias("_cvec"))
-        .crossJoin(q)
-        .where(F.col("query_id") != F.col(id_col))
+        corpus.select(F.col(id_col), quantize(F.col(vec_col), scale).alias("_qc"))
         .select(
-            "query_id",
-            id_col,
-            quantized_dot(F.col("_cvec"), F.col("_qvec"), scale).alias("qdot"),
+            id_col, F.posexplode(dots(F.col("_qc"))).alias("_qi", "qdot")
         )
+        .select(
+            F.element_at(qid_arr, F.col("_qi") + 1).alias("query_id"),
+            id_col,
+            "qdot",
+        )
+        .where(F.col("query_id") != F.col(id_col))
     )
     w = W.partitionBy("query_id").orderBy(F.desc("qdot"), F.col(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
@@ -631,23 +664,52 @@ def cosine_near_dups(
     sketch = multitable_sketch_udf(dim, n_planes, n_tables)
     b = df.select(
         F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
         F.explode(sketch(F.col(vec_col))).alias("bucket"),
     )
     return _verify_pairs_cosine(df, b, threshold, id_col, vec_col)
 
 
 def _verify_pairs_cosine(df, b, threshold, id_col, vec_col):
-    """Shared verify stage: same-bucket self-join → distinct candidate
-    pairs (eagerly persisted) → vectors joined back → exact cosine ≥
-    threshold."""
-    l, r = b.alias("l"), b.alias("r")
-    pairs = (
-        l.join(
-            r,
-            (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col("l._id") < F.col("r._id")),
+    """Shared verify stage, r6 shape (guide §2.3 "shuffle keys and
+    metadata", §4.2): instead of a bucket self-join producing the full
+    candidate-pair stream and a pairwise join shipping every candidate
+    TWO vector payloads through a shuffle, the vectors travel ONCE to
+    their bucket (``b`` carries ``_v``) and each bucket scores all its
+    pairs in one float64 BLAS Gram (applyInPandas) — a numpy PRE-FILTER
+    at ``threshold − 1e-4`` slack. Survivors (near-dups only, tiny by
+    construction) are deduped across tables and re-scored with the
+    SAME JVM ``cosine`` expression and the unslacked threshold, so the
+    emitted (id_a, id_b, score) rows are bit-identical to the old
+    join plan: numpy-vs-JVM double summation differs by ~1e-15 — far
+    inside the slack — so no pair can cross the final filter
+    differently."""
+    import numpy as np
+
+    slack = float(threshold) - 1e-4
+
+    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["_id"].to_numpy(dtype=np.int64)
+        if len(ids) < 2:
+            return pd.DataFrame(
+                {"id_a": np.empty(0, np.int64), "id_b": np.empty(0, np.int64)}
+            )
+        m = np.vstack(
+            [np.asarray(v, dtype=np.float64) for v in pdf["_v"].to_numpy()]
         )
-        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        nrm = np.linalg.norm(m, axis=1)
+        nrm[nrm == 0] = 1.0
+        g = (m / nrm[:, None]) @ (m / nrm[:, None]).T
+        ia, ib = np.triu_indices(len(ids), k=1)
+        keep = g[ia, ib] >= slack
+        a, bb = ids[ia[keep]], ids[ib[keep]]
+        return pd.DataFrame(
+            {"id_a": np.minimum(a, bb), "id_b": np.maximum(a, bb)}
+        )
+
+    pairs = (
+        b.groupBy("bucket")
+        .applyInPandas(bucket_pairs, "id_a long, id_b long")
         .distinct()
         .persist()
     )
@@ -732,6 +794,29 @@ def exact_cosine_pairs(
     )
 
 
+def _imatmul(a, b):
+    """Exact integer matmul via BLAS float64 (guide §4.2).
+
+    numpy's int64 ``@`` has no BLAS kernel and runs a naive loop —
+    measured ~40-100x slower than dgemm for the Gram tiles the
+    int64-exact paths build. IEEE doubles represent every integer with
+    |v| < 2^53 exactly, and dgemm only ever adds/multiplies those
+    integers (FMA and blocked summation of exact integers stay exact),
+    so when ``k * max|a| * max|b| < 2^53`` — which bounds every product
+    AND every partial sum — the float64 product is bit-identical to the
+    int64 one. Returns float64 (integral-valued); falls back to the
+    int64 loop when the bound cannot be certified.
+    """
+    import numpy as np
+
+    amax = int(np.abs(a).max(initial=0))
+    bmax = int(np.abs(b).max(initial=0))
+    k = a.shape[-1]
+    if k * amax * bmax < (1 << 53):
+        return a.astype(np.float64) @ b.astype(np.float64)
+    return (a @ b).astype(np.float64)
+
+
 def md5_planes(dim: int, n_planes: int, n_tables: int):
     """Integer hyperplane weights derived from md5 — the ONLY random
     source any SQL engine can replay exactly: weight(d, j) =
@@ -799,7 +884,7 @@ def lsh_topk_exact(
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def buckets(qvecs: pd.Series) -> pd.Series:
         m = np.vstack([np.asarray(v, dtype=np.int64) for v in qvecs])
-        signs = (m @ w) > 0  # exact: int64 matmul
+        signs = _imatmul(m, w) > 0  # exact (see _imatmul)
         b = signs.reshape(len(m), n_tables, n_planes) @ pow2 + offsets
         return pd.Series(list(b))
 
@@ -896,7 +981,14 @@ def ivf_topk_exact(
     c_sq = (C * C).sum(axis=1)
 
     def _d2(m):
-        return (m * m).sum(axis=1)[:, None] - 2 * (m @ C.T) + c_sq[None, :]
+        # every term is an exact integer in float64 (see _imatmul), so
+        # argmin/argsort decisions are identical to the int64 path
+        mf = m.astype("float64")
+        return (
+            (mf * mf).sum(axis=1)[:, None]
+            - 2 * _imatmul(m, C.T)
+            + c_sq[None, :].astype("float64")
+        )
 
     @F.pandas_udf(T.LongType())
     def assign(vecs: pd.Series) -> pd.Series:
@@ -994,7 +1086,14 @@ def semantic_dedup_exact(
     @F.pandas_udf(T.LongType())
     def assign(vecs: pd.Series) -> pd.Series:
         m = np.vstack([np.asarray(v, dtype=np.int64) for v in vecs])
-        d2 = (m * m).sum(axis=1)[:, None] - 2 * (m @ C.T) + c_sq[None, :]
+        # exact-integer float64 arithmetic (see _imatmul) — argmin
+        # decisions identical to the int64 path, BLAS speed
+        mf = m.astype(np.float64)
+        d2 = (
+            (mf * mf).sum(axis=1)[:, None]
+            - 2 * _imatmul(m, C.T)
+            + c_sq[None, :].astype(np.float64)
+        )
         return pd.Series(np.argmin(d2, axis=1).astype(np.int64))
 
     cu = df.select(
@@ -1019,17 +1118,21 @@ def semantic_dedup_exact(
         m = np.vstack(
             [np.asarray(v, dtype=np.int64) for v in pdf["_q"].to_numpy()[order]]
         )
-        g = m @ m.T  # int64 Gram: exact
-        n = np.diag(g).astype(np.float64)
-        raw = g / np.sqrt(n[:, None] * n[None, :])
-        ia, ib = np.triu_indices(len(ids), k=1)
-        keep = raw[ia, ib] >= slack
+        g = _imatmul(m, m.T)  # exact-integer Gram in float64 (BLAS)
+        n = np.diag(g)
+        # prefilter mask computed as g >= slack·sqrt(na·nb) (no full
+        # |cell|² raw matrix / triu index arrays — the old
+        # triu_indices path allocated 16 bytes/pair); survivors get the
+        # bit-identical raw = g/sqrt(na·nb) expression
+        s = np.sqrt(n[:, None] * n[None, :])
+        keep = np.triu(g >= slack * s, k=1)
+        ia, ib = np.nonzero(keep)
         return pd.DataFrame(
             {
-                "cell": np.full(int(keep.sum()), pdf["cell"].iloc[0], np.int64),
-                "id_a": ids[ia[keep]],
-                "id_b": ids[ib[keep]],
-                "raw": raw[ia[keep], ib[keep]],
+                "cell": np.full(len(ia), pdf["cell"].iloc[0], np.int64),
+                "id_a": ids[ia],
+                "id_b": ids[ib],
+                "raw": g[ia, ib] / np.sqrt(n[ia] * n[ib]),
             }
         )
 

@@ -438,20 +438,57 @@ def tfidf_top_terms(
 
     Output: (doc_id, rank, term, tf, doc_freq, tfidf).
 
-    Plan (100 TB shape): words explode map-side; shuffle 1 is the
-    canonical combine-backed groupBy(doc, word) term-frequency count.
-    Document frequency comes from a second aggregation OVER THE ALREADY
-    AGGREGATED (doc, word) pairs — never the raw word stream — and
-    joins back on the word key (sort-merge at vocabulary scale; the
-    corpus-size scalar N is a 1-row broadcast). The final top-k window
-    partitions by doc_id over |docs|·|distinct terms per doc| rows.
-    No collect, no UDF, no O(N²) stage.
+    Plan (100 TB shape, r6): term frequency is a WITHIN-document
+    count, so it needs no shuffle at all — an Arrow batch pass counts
+    each document's words locally (normalization stays JVM-side, the
+    Python side only splits on single spaces — byte-exact, see
+    ``dedup.shingles_arrow``) and emits the (doc, term, tf) rows
+    map-side. That removes the former groupBy(doc, word) exchange of
+    the full word stream (guide §2.3 "aggregate before you shuffle" —
+    here the aggregate IS per-row local). Document frequency
+    aggregates those already-unique (doc, word) pairs and joins back
+    on the word key (sort-merge at vocabulary scale; the corpus-size
+    scalar N is a 1-row broadcast). The final top-k window partitions
+    by doc_id. No collect, no O(N²) stage.
     """
-    w = df.select(
-        F.col(id_col),
-        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("w"),
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(
+        T.ArrayType(
+            T.StructType(
+                [
+                    T.StructField("w", T.StringType()),
+                    T.StructField("tf", T.LongType()),
+                ]
+            )
+        )
     )
-    tf = w.groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("tf"))
+    def term_counts(texts):
+        import collections
+
+        import pandas as pd
+
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            c = collections.Counter(t.split(" "))
+            out.append(list(c.items()))
+        return pd.Series(out)
+
+    from .dedup import _spread
+
+    tf = (
+        _spread(df)
+        .select(
+            F.col(id_col),
+            F.explode(
+                term_counts(normalize_text(F.col(text_col)))
+            ).alias("_wt"),
+        )
+        .select(id_col, F.col("_wt.w").alias("w"), F.col("_wt.tf").alias("tf"))
+    )
     dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("doc_freq"))
     n = df.select(
         F.count_distinct(F.col(id_col)).alias("_n_docs")

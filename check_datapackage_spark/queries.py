@@ -17,6 +17,7 @@ Exactness rules (the driver value-hashes results):
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from .operators import cluster, decontam, dedup, diff, drift, infer, multimodal, packing, referential, sampling, sequences, similarity, stats, text, uniqueness
@@ -98,15 +99,57 @@ ORDER BY l_returnflag, l_linestatus
 
 
 def q02_profile_lineitem(spark, sf_dir):
+    """r6: exact median via a value-count histogram instead of
+    ``F.percentile`` (guide §5 — Percentile is a typed imperative
+    aggregate that buffers EVERY value per task; it was ~75% of q02's
+    cost and is an OOM hazard at scale). ``l_quantity`` has few
+    distinct values, so groupBy(value).count() reduces map-side to a
+    tiny histogram; the interpolation replays Spark's Percentile
+    formula ``(hi − pos)·v_lo + (pos − lo)·v_hi`` with
+    ``pos = 0.5·(n_nonnull − 1)`` over the cumulative counts —
+    bit-identical doubles, oracle unchanged."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.agg(
+    base = li.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(F.col("l_quantity").isNull().cast("long")).alias("qty_nulls"),
         F.min("l_quantity").alias("min_qty"),
         F.max("l_quantity").alias("max_qty"),
-        F.round(F.percentile(F.col("l_quantity"), F.lit(0.5)), 6).alias("median_qty"),
         F.countDistinct("l_orderkey").alias("distinct_orders"),
         F.min("l_shipdate").cast("date").cast("string").alias("min_shipdate"),
+    )
+    h = (
+        li.select(F.col("l_quantity").cast("double").alias("_v"))
+        .where(F.col("_v").isNotNull())
+        .groupBy("_v")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    wcum = W.orderBy("_v").rowsBetween(W.unboundedPreceding, 0)
+    h2 = h.select("_v", F.sum("_c").over(wcum).alias("_cum"))
+    tot = h2.agg(F.max("_cum").alias("_n"))
+    j = h2.crossJoin(F.broadcast(tot))
+    pos = F.lit(0.5) * (F.col("_n") - 1).cast("double")
+    k_lo = F.floor(pos)
+    k_hi = F.ceil(pos)
+    sel = j.agg(
+        F.min(F.when(F.col("_cum") > k_lo, F.col("_v"))).alias("_vlo"),
+        F.min(F.when(F.col("_cum") > k_hi, F.col("_v"))).alias("_vhi"),
+        F.max("_n").alias("_n"),
+    )
+    pos2 = F.lit(0.5) * (F.col("_n") - 1).cast("double")
+    lo2 = F.floor(pos2)
+    hi2 = F.ceil(pos2)
+    median = F.when(lo2 == hi2, F.col("_vlo")).otherwise(
+        (hi2.cast("double") - pos2) * F.col("_vlo")
+        + (pos2 - lo2.cast("double")) * F.col("_vhi")
+    )
+    return base.crossJoin(F.broadcast(sel)).select(
+        "n_rows",
+        "qty_nulls",
+        "min_qty",
+        "max_qty",
+        F.round(median, 6).alias("median_qty"),
+        "distinct_orders",
+        "min_shipdate",
     )
 
 
@@ -842,12 +885,23 @@ ORDER BY fingerprint
 def q24_referential_violations(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     orders_half = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") % 2 == 0)
-    v = referential.referential_violations(
-        li, orders_half, ["l_orderkey"], ["o_orderkey"], "lineitem", "orders"
-    )
     # one row per missing fact row collapses under the Issue dedup key
-    # (jsonpath without a distinct row key) — emit distinct keys
-    return _sorted(v.dropDuplicates(["jsonpath"]), "jsonpath")
+    # (jsonpath without a distinct row key) — emit distinct keys.
+    # r6: dedup happens on the narrow key column BEFORE the violation
+    # strings are built (distinct=True), so the exchange carries longs
+    # with map-side combine instead of 8 built strings per fact row
+    # (guide §2.3) — same distinct row set, jsonpath is injective in
+    # the key.
+    v = referential.referential_violations(
+        li,
+        orders_half,
+        ["l_orderkey"],
+        ["o_orderkey"],
+        "lineitem",
+        "orders",
+        distinct=True,
+    )
+    return _sorted(v, "jsonpath")
 
 
 Q24_SQL = """

@@ -103,3 +103,21 @@ def test_suggest_spec_with_constraints(spark):
     assert by_name["s"]["constraints"]["enum"] == ["x", "y"]
     # enum only proposed for string-typed fields; bools get none
     assert "enum" not in by_name["b"].get("constraints", {})
+
+
+def test_infer_arrow_matches_sql_on_edge_strings(spark):
+    """r6: the Arrow (RE2) count path must be bit-identical to the JVM
+    fused-rlike path - including Java's dollar-before-final-newline
+    quirk, emulated in the Arrow patterns."""
+    nl = chr(10)
+    cr = chr(13)
+    rows = [
+        ("123",), ("123" + nl,), ("123" + cr + nl,), ("123" + cr,),
+        ("12" + nl + "3",), ("1.5e3" + nl,), ("true" + nl,),
+        ("2024-01-02" + nl,), ("2024-01-02T03:04:05 ",), (" 123",),
+        ("123 ",), ("",), (None,), ("+.5",), ("-0.e2",), ("10",), ("7",),
+    ]
+    df = spark.createDataFrame(rows, "v string")
+    a = infer_field_types(df, ["v"], method="arrow").collect()
+    s = infer_field_types(df, ["v"], method="sql").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in s]
