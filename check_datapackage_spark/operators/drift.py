@@ -196,40 +196,68 @@ def token_histogram(
     exploding the token arrays.
 
     ``explode`` on 10^12 rows × ~1k tokens would shuffle 10^15 rows.
-    Instead a vectorized pandas UDF bincounts each Arrow batch into a
-    fixed-size vector; Spark then sums the small vectors. Shuffle
-    traffic: |tasks| × n_buckets longs.
+    r6: the former per-ROW bincount vectors still exploded
+    |rows| × n_buckets positions before the aggregation; now one
+    ``mapInArrow`` pass accumulates a single histogram per (group,
+    task) and emits only its nonzero buckets — shuffle traffic is
+    |tasks| × |groups| × nonzero-buckets rows (guide §2.3 "aggregate
+    before you shuffle").
     """
     import numpy as np
-    from pyspark.sql import types as T
 
     width = (vocab + n_buckets - 1) // n_buckets
+    cols = ([by] if by else []) + [tokens_col]
+    if by:
+        by_type = df.select(by).schema[0].dataType.simpleString()
+        out_schema = f"`{by}` {by_type}, bucket int, count long"
+    else:
+        out_schema = "bucket int, count long"
 
-    @F.pandas_udf(T.ArrayType(T.LongType()))
-    def bincount_batch(tok: pd.Series) -> pd.Series:
-        out = []
-        for arr in tok:
-            if arr is None or len(arr) == 0:
-                out.append(np.zeros(n_buckets, dtype=np.int64))
-                continue
-            a = np.asarray(arr)
-            a = a[(a >= 0) & (a < vocab)] // width
-            out.append(np.bincount(a, minlength=n_buckets).astype(np.int64))
-        return pd.Series(out)
+    def partials(batches):
+        import pyarrow as pa
 
-    counts = df.select(
-        *([F.col(by)] if by else []),
-        bincount_batch(F.col(tokens_col)).alias("_bc"),
-    )
-    # Sum the per-row vectors: element-wise array sum via aggregate on
-    # zipped arrays — done with posexplode of the SMALL fixed-size
-    # vector (n_buckets per row, bounded) then groupBy(bucket).
+        acc: dict = {}
+        key_type = None
+        for b in batches:
+            if by:
+                key_type = b.schema.field(0).type
+            toks = b.column(len(cols) - 1).to_pandas()
+            keys = b.column(0).to_pandas() if by else None
+            for i, arr in enumerate(toks):
+                if arr is None or len(arr) == 0:
+                    continue
+                a = np.asarray(arr, dtype=np.int64)
+                a = a[(a >= 0) & (a < vocab)] // width
+                key = keys[i] if by else None
+                v = acc.get(key)
+                if v is None:
+                    v = acc[key] = np.zeros(n_buckets, np.int64)
+                v += np.bincount(a, minlength=n_buckets)
+        out_keys, out_buckets, out_counts = [], [], []
+        for key, v in acc.items():
+            nz = np.nonzero(v)[0]
+            out_keys.extend([key] * len(nz))
+            out_buckets.extend(nz.tolist())
+            out_counts.extend(v[nz].tolist())
+        if not acc:
+            return
+        arrays = []
+        names = []
+        if by:
+            arrays.append(pa.array(out_keys, type=key_type))
+            names.append(by)
+        arrays.append(pa.array(out_buckets, pa.int32()))
+        names.append("bucket")
+        arrays.append(pa.array(out_counts, pa.int64()))
+        names.append("count")
+        yield pa.record_batch(arrays, names=names)
+
     group = ([F.col(by)] if by else [])
     return (
-        counts.select(*group, F.posexplode("_bc").alias("bucket", "c"))
-        .where(F.col("c") > 0)
+        df.select(*cols)
+        .mapInArrow(partials, out_schema)
         .groupBy(*group, "bucket")
-        .agg(F.sum("c").alias("count"))
+        .agg(F.sum("count").alias("count"))
     )
 
 

@@ -86,6 +86,216 @@ def quality_score(col: Column, n_chars: Optional[Column] = None) -> Column:
     return F.round((len_ok + punct_ok + sw_ok) / 3.0, 6)
 
 
+#: Java regex ``\s`` (no UNICODE_CHARACTER_CLASS) is the ASCII set.
+_JAVA_WS = "[ \t\n\x0b\f\r]+"
+
+
+def ws_token_count_arrow(col: Column) -> Column:
+    """Arrow twin of :func:`ws_token_count` (guide §4.2) — identical
+    counts: Python splits on Java's exact ASCII ``\\s`` class, so no
+    regex-dialect or locale logic crosses the boundary."""
+    import re
+
+    from pyspark.sql import types as T
+
+    ws = re.compile(_JAVA_WS)
+
+    @F.pandas_udf(T.LongType())
+    def cnt(texts):
+        import pandas as pd
+
+        return pd.Series(
+            [
+                None
+                if t is None
+                else sum(1 for w in ws.split(t) if w != "")
+                for t in texts
+            ],
+            dtype="object",
+        ).astype("Int64")
+
+    return cnt(col)
+
+
+def token_counts_arrow(col: Column) -> Column:
+    """Both q10 token counts in ONE Arrow pass: struct(ws, re) with
+    counts bit-identical to :func:`ws_token_count` /
+    :func:`regex_token_count` (Python ``re`` with the same ASCII
+    classes; alternation preference matches Java's leftmost-first)."""
+    import re
+
+    from pyspark.sql import types as T
+
+    ws = re.compile(_JAVA_WS)
+    tok = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0b\f\r]")
+
+    @F.pandas_udf(
+        T.StructType(
+            [
+                T.StructField("ws", T.LongType()),
+                T.StructField("re", T.LongType()),
+            ]
+        )
+    )
+    def cnt(texts):
+        import pandas as pd
+
+        out_ws, out_re = [], []
+        for t in texts:
+            if t is None:
+                out_ws.append(None)
+                out_re.append(None)
+                continue
+            out_ws.append(sum(1 for w in ws.split(t) if w != ""))
+            out_re.append(sum(1 for _ in tok.finditer(t)))
+        return pd.DataFrame({"ws": out_ws, "re": out_re})
+
+    return cnt(col)
+
+
+def md5_tokens_arrow(col: Column, vocab: int) -> Column:
+    """Arrow twin of the shared md5 word tokenizer
+    (``transform(words, conv(substring(md5(w),1,8),16,10) % vocab)``
+    over Java-``\\s``-split lowered text) — identical ids: the caller
+    passes the ALREADY-LOWERED text (JVM ``lower``), Python splits on
+    Java's ASCII ``\\s`` class and hashes UTF-8 bytes, and the first 8
+    md5 hex chars equal the first 4 digest bytes big-endian."""
+    import hashlib
+    import re
+
+    from pyspark.sql import types as T
+
+    ws = re.compile(_JAVA_WS)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def toks(texts):
+        import pandas as pd
+
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            out.append(
+                [
+                    int.from_bytes(
+                        hashlib.md5(w.encode()).digest()[:4], "big"
+                    )
+                    % vocab
+                    for w in ws.split(t)
+                    if w != ""
+                ]
+            )
+        return pd.Series(out)
+
+    return toks(col)
+
+
+def detect_lang_arrow(col: Column, default: str = "und") -> Column:
+    """Arrow twin of :func:`detect_lang`: marker hits counted with
+    Python ``re`` under ``re.ASCII`` (Java ``\\b``/``\\w`` are ASCII),
+    argmax with the same fixed tie order. Lowercasing stays JVM-side
+    (the locale-sensitive part)."""
+    import re
+
+    from pyspark.sql import types as T
+
+    pats = [
+        (lang, re.compile(r"\b(" + "|".join(words) + r")\b", re.ASCII))
+        for lang, words in LANG_MARKERS.items()
+    ]
+
+    @F.pandas_udf(T.StringType())
+    def pick(texts):
+        import pandas as pd
+
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(default)
+                continue
+            scores = [
+                (lang, sum(1 for _ in p.finditer(t))) for lang, p in pats
+            ]
+            best = max(s for _, s in scores)
+            out.append(
+                next(
+                    (lang for lang, s in scores if s > 0 and s == best),
+                    default,
+                )
+            )
+        return pd.Series(out)
+
+    return pick(F.lower(col))
+
+
+def quality_score_arrow(col: Column, n_chars: Column) -> Column:
+    """Arrow twin of :func:`quality_score` — bit-identical doubles:
+    the integer signals (Java-ASCII ``\\s`` word count, punct count
+    with Java's UTF-16 length rule — a supplementary code point kept
+    by ``regexp_replace`` counts 2 code units — and ASCII-``\\b``
+    stopword hits) feed the same IEEE arithmetic, and the final
+    6-dp round replays Spark's BigDecimal HALF_UP exactly."""
+    import re
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from pyspark.sql import types as T
+
+    ws = re.compile(_JAVA_WS)
+    keep = re.compile(r"[A-Za-z0-9 \t\n\x0b\f\r]")
+    sw_pat = re.compile(
+        r"\b(" + "|".join(LANG_MARKERS["en"]) + r")\b", re.ASCII
+    )
+    q6 = Decimal("0.000001")
+
+    @F.pandas_udf(T.DoubleType())
+    def score(texts, ns):
+        import pandas as pd
+
+        out = []
+        for t, n in zip(texts, ns):
+            # NULL text → every regex-derived signal is NULL in the JVM
+            # path, so the score is NULL; NULL n_chars → len_ok NULL →
+            # score NULL.
+            if t is None or pd.isna(n):
+                out.append(None)
+                continue
+            toks = sum(1 for w in ws.split(t) if w != "")
+            # Java length() counts UTF-16 code units; the char class
+            # only matches BMP chars, so each kept supplementary char
+            # contributes 2 to the replaced string's length
+            nlen = 0
+            punct = 0
+            for ch in t:
+                u = 2 if ord(ch) > 0xFFFF else 1
+                nlen += u
+                if not keep.match(ch):
+                    punct += u
+            sw = sum(1 for _ in sw_pat.finditer(t.lower()))
+            nf = float(n)
+            if 200 <= nf <= 20000:
+                len_ok = 1.0
+            elif nf < 200:
+                len_ok = nf / 200.0
+            else:
+                len_ok = 20000.0 / nf
+            p = 0.0 if nlen == 0 else punct / nlen
+            punct_ok = 1.0 if p <= 0.1 else max(0.0, 1.0 - (p - 0.1) * 5.0)
+            d = 0.0 if toks == 0 else sw / toks
+            sw_ok = min(1.0, d * 5.0)
+            raw = (len_ok + punct_ok + sw_ok) / 3.0
+            # Spark ROUND(double) goes through BigDecimal.valueOf ==
+            # Double.toString == shortest round-trip repr; Decimal(repr)
+            # replays that exactly (Decimal(float) would use the full
+            # binary expansion and can round differently at ties)
+            out.append(
+                float(Decimal(repr(raw)).quantize(q6, rounding=ROUND_HALF_UP))
+            )
+        return pd.Series(out, dtype="float64")
+
+    return score(col, n_chars)
+
+
 def lang_scores(col: Column) -> dict[str, Column]:
     """Per-language marker-hit counts."""
     return {lang: stopword_hits(col, words) for lang, words in LANG_MARKERS.items()}
@@ -354,20 +564,32 @@ def bigram_stats(
     deterministically — cross-engine reproducible.
     """
     from pyspark.sql import Window
+    from pyspark.sql import types as T
 
-    def pairs(words: Column) -> Column:
-        return F.when(F.size(words) < 2, F.array().cast("array<string>")).otherwise(
-            F.transform(
-                F.sequence(F.lit(1), F.greatest(F.size(words) - 1, F.lit(1))),
-                lambda s: F.array_join(F.slice(words, s, 2), " "),
+    # r6 (guide §4.2): pair assembly in one Arrow pass — normalization
+    # stays JVM-side, Python only slices/joins the single-space words
+    # (byte-identical, same contract as dedup.shingles_arrow); the
+    # interpreted transform+slice+array_join tree dominated the scan
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def pairs_arrow(texts):
+        import pandas as pd
+
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            w = t.split(" ")
+            out.append(
+                [" ".join(w[i : i + 2]) for i in range(len(w) - 1)]
             )
-        )
+        return pd.Series(out)
 
-    p = df.select(
+    from .dedup import _spread
+
+    p = _spread(df).select(
         F.col(by),
-        F.explode(
-            let_col(F.split(normalize_text(F.col(text_col)), " "), pairs)
-        ).alias("pair"),
+        F.explode(pairs_arrow(normalize_text(F.col(text_col)))).alias("pair"),
     )
     pc = p.groupBy(by, "pair").agg(F.count(F.lit(1)).alias("cnt"))
     w = Window.partitionBy(by).orderBy(

@@ -385,11 +385,11 @@ FROM j GROUP BY source ORDER BY source
 
 def q10_token_counts(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
-    pre = docs.select(
-        "lang",
-        text.ws_token_count(F.col("text")).alias("_ws"),
-        text.regex_token_count(F.col("text")).alias("_re"),
-    )
+    # r6: both counts in one Arrow pass (bit-identical — see
+    # text.token_counts_arrow); the JVM regex pair cost ~2x the scan
+    pre = dedup._spread(docs).select(
+        "lang", text.token_counts_arrow(F.col("text")).alias("_tc")
+    ).select("lang", F.col("_tc.ws").alias("_ws"), F.col("_tc.re").alias("_re"))
     return (
         pre.groupBy("lang")
         .agg(
@@ -425,7 +425,8 @@ FROM pre GROUP BY lang ORDER BY lang
 def q11_langid(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return (
-        docs.select("lang", text.detect_lang(F.col("text")).alias("predicted"))
+        dedup._spread(docs)
+        .select("lang", text.detect_lang_arrow(F.col("text")).alias("predicted"))
         .groupBy("lang", "predicted")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("lang", "predicted")
@@ -462,8 +463,9 @@ SELECT lang, predicted, COUNT(*) AS n FROM p GROUP BY 1, 2 ORDER BY 1, 2
 
 def q12_quality(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
-    q = docs.select(
-        "source", text.quality_score(F.col("text"), F.col("n_chars")).alias("_q")
+    q = dedup._spread(docs).select(
+        "source",
+        text.quality_score_arrow(F.col("text"), F.col("n_chars")).alias("_q"),
     )
     return (
         q.groupBy("source")
@@ -1727,15 +1729,16 @@ def q39_token_hist_drift(spark, sf_dir):
     |tasks| × n_buckets longs, not 10^15 token rows at 10^12 docs).
     """
     docs = _t(spark, sf_dir, "documents")
-    words = F.filter(
-        F.split(F.lower(F.col("text")), r"\s+"), lambda w: w != F.lit("")
+
+    # r6 (guide §4.2): the per-word md5 tokenizer ran as interpreted
+    # higher-order expressions; one Arrow batch pass hashes every word
+    # instead — byte-identical ids (text.md5_tokens_arrow).
+    tok = dedup._spread(docs).select(
+        "source",
+        text.md5_tokens_arrow(F.lower(F.col("text")), _Q39_VOCAB).alias(
+            "tokens"
+        ),
     )
-    tokens = F.transform(
-        words,
-        lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long")
-        % _Q39_VOCAB,
-    )
-    tok = docs.select("source", tokens.alias("tokens"))
     h = drift.token_histogram(
         tok, "tokens", vocab=_Q39_VOCAB, n_buckets=_Q39_BUCKETS, by="source"
     )
@@ -3039,15 +3042,9 @@ def q59_sequence_structure(spark, sf_dir):
     interior, % 47 injects an out-of-vocab id) — identical in both
     engines, so every count is exact. All four predicates evaluate over
     ONE let-bound array in one fused map-side aggregation."""
-    docs = _t(spark, sf_dir, "documents")
-    words = F.filter(
-        F.split(F.lower(F.col("text")), r"\s+"), lambda w: w != F.lit("")
-    )
-    body = F.transform(
-        words,
-        lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long")
-        % _Q59_VOCAB,
-    )
+    docs = dedup._spread(_t(spark, sf_dir, "documents"))
+    # r6: Arrow md5 tokenizer (byte-identical — text.md5_tokens_arrow)
+    body = text.md5_tokens_arrow(F.lower(F.col("text")), _Q59_VOCAB)
     L = lambda *ids: F.array(*[F.lit(i).cast("long") for i in ids])  # noqa: E731
     did = F.col("doc_id")
     tokens = (
