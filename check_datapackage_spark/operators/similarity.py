@@ -24,6 +24,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from .dedup import _spread
+
 
 def dot(a: Column, b: Column) -> Column:
     """Σ aᵢbᵢ in double precision — zip_with + aggregate, JVM-side."""
@@ -137,7 +139,7 @@ def quantized_topk(
 
     qid_arr = F.array(*[F.lit(q) for q in qids])
     scored = (
-        corpus.select(F.col(id_col), quantize(F.col(vec_col), scale).alias("_qc"))
+        _spread(corpus).select(F.col(id_col), quantize(F.col(vec_col), scale).alias("_qc"))
         .select(
             id_col, F.posexplode(dots(F.col("_qc"))).alias("_qi", "qdot")
         )
@@ -232,7 +234,7 @@ def lsh_topk(
             idname, vec_col, F.explode(sketch(F.col(vec_col))).alias("bucket")
         )
 
-    cu = unpivot(corpus, id_col)
+    cu = unpivot(_spread(corpus), id_col)
     qu = F.broadcast(
         unpivot(
             queries.select(F.col(id_col).alias("query_id"), vec_col), "query_id"
@@ -375,7 +377,7 @@ def ivf_topk(
     )
     assign1 = _ivf_assign_udf(dim, n_cells, 1, centroids=cents)
     assignp = _ivf_assign_udf(dim, n_cells, n_probe, centroids=cents)
-    c = corpus.select(
+    c = _spread(corpus).select(
         F.col(id_col), F.col(vec_col), F.element_at(assign1(F.col(vec_col)), 1).alias("cell")
     )
     q = F.broadcast(
@@ -540,7 +542,7 @@ def ivf2_topk(
     )
     assign_c = _ivf2_corpus_assign_udf(cents1, cents2)
     probe_q = _ivf2_probe_udf(cents1, cents2, n_probe)
-    c = corpus.select(
+    c = _spread(corpus).select(
         F.col(id_col), F.col(vec_col), assign_c(F.col(vec_col)).alias("cell")
     )
     q = F.broadcast(
@@ -595,7 +597,7 @@ def semantic_dedup_two_level(
         df, dim, n_cells1, n_cells2, id_col, vec_col, sample_n
     )
     assign_c = _ivf2_corpus_assign_udf(cents1, cents2)
-    cu = df.select(F.col(id_col), F.col(vec_col)).withColumn(
+    cu = _spread(df).select(F.col(id_col), F.col(vec_col)).withColumn(
         "cell", assign_c(F.col(vec_col))
     )
 
@@ -662,7 +664,7 @@ def cosine_near_dups(
     otherwise recompute the sketch pipeline concurrently.
     """
     sketch = multitable_sketch_udf(dim, n_planes, n_tables)
-    b = df.select(
+    b = _spread(df).select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
         F.explode(sketch(F.col(vec_col))).alias("bucket"),
@@ -897,7 +899,7 @@ def lsh_topk_exact(
             idname, qname, F.explode(buckets(F.col(qname))).alias("bucket")
         )
 
-    cu = sketch(corpus, id_col, "_qc")
+    cu = sketch(_spread(corpus), id_col, "_qc")
     qu = F.broadcast(sketch(queries, "query_id", "_qq"))
     nrm = lambda c: F.aggregate(  # noqa: E731
         F.transform(c, lambda x: x * x), F.lit(0).cast("long"), lambda a, x: a + x
@@ -1001,7 +1003,7 @@ def ivf_topk_exact(
         order = np.argsort(_d2(m), axis=1, kind="stable")[:, :n_probe]
         return pd.Series(list(order.astype(np.int64)))
 
-    cu = corpus.select(
+    cu = _spread(corpus).select(
         F.col(id_col), quantize(F.col(vec_col), scale).alias("_qc")
     ).withColumn("cell", assign(F.col("_qc")))
     qu = F.broadcast(
@@ -1096,7 +1098,7 @@ def semantic_dedup_exact(
         )
         return pd.Series(np.argmin(d2, axis=1).astype(np.int64))
 
-    cu = df.select(
+    cu = _spread(df).select(
         F.col(id_col), quantize(F.col(vec_col), scale).alias("_q")
     ).withColumn("cell", assign(F.col("_q")))
 
@@ -1118,21 +1120,28 @@ def semantic_dedup_exact(
         m = np.vstack(
             [np.asarray(v, dtype=np.int64) for v in pdf["_q"].to_numpy()[order]]
         )
-        g = _imatmul(m, m.T)  # exact-integer Gram in float64 (BLAS)
-        n = np.diag(g)
-        # prefilter mask computed as g >= slack·sqrt(na·nb) (no full
-        # |cell|² raw matrix / triu index arrays — the old
-        # triu_indices path allocated 16 bytes/pair); survivors get the
-        # bit-identical raw = g/sqrt(na·nb) expression
-        s = np.sqrt(n[:, None] * n[None, :])
-        keep = np.triu(g >= slack * s, k=1)
+        # PREFILTER on the normalized Gram (one BLAS matmul directly
+        # yields approximate cosines — no |cell|² exact-Gram, sqrt
+        # matrix or division matrix): its ~1e-14 float error is far
+        # inside the 1e-4 slack, so no boundary decision can differ.
+        # Survivors (near-dups only) get the bit-identical exact
+        # expression: integer dot (exact in float64, see _imatmul)
+        # divided by sqrt(na·nb).
+        mf = m.astype(np.float64)
+        n = (mf * mf).sum(axis=1)  # exact integer norms
+        nz = np.sqrt(n)
+        nz[nz == 0] = 1.0
+        mn = mf / nz[:, None]
+        g2 = mn @ mn.T
+        keep = np.triu(g2 >= slack, k=1)
         ia, ib = np.nonzero(keep)
+        gd = np.einsum("ij,ij->i", mf[ia], mf[ib])
         return pd.DataFrame(
             {
                 "cell": np.full(len(ia), pdf["cell"].iloc[0], np.int64),
                 "id_a": ids[ia],
                 "id_b": ids[ib],
-                "raw": g[ia, ib] / np.sqrt(n[ia] * n[ib]),
+                "raw": gd / np.sqrt(n[ia] * n[ib]),
             }
         )
 

@@ -70,17 +70,31 @@ def uniqueness_violations(
     table_name: str,
     partition: Optional[str] = None,
     salted: bool = False,
+    order_by_jsonpath: bool = False,
 ) -> DataFrame:
     """Violation rows (VIOLATION_FULL_SCHEMA) for duplicated keys.
 
     One row per duplicated key value (not per duplicate row) — matching
     the reference's one-Issue-per-violating-property shape and keeping
-    output proportional to |dup keys|.
+    output proportional to |dup keys|. ``order_by_jsonpath=True``
+    returns the rows jsonpath-ordered, with the sort run over the
+    narrow key frame before the strings are built.
     """
     keys = list(keys)
     dups = dup_key_counts_salted(df, keys) if salted else dup_key_counts(df, keys)
     key_str = F.concat_ws("|", *[F.col(k).cast("string") for k in keys])
     col_name = ",".join(keys)
+    if order_by_jsonpath:
+        # r6 (guide §2.3): sort BEFORE the violation strings are built —
+        # the range-partition exchange then carries the key columns plus
+        # one sort-key string instead of 8 built strings per row; the
+        # projection below preserves the sort order. Ordering by the
+        # jsonpath EXPRESSION over the narrow frame is the identical
+        # ordering (same string, same rows).
+        jp = F.concat(
+            F.lit(f"$.{table_name}["), key_str, F.lit(f"].{col_name}")
+        )
+        dups = dups.orderBy(jp)
     return dups.select(
         F.concat(F.lit(f"$.{table_name}["), key_str, F.lit(f"].{col_name}")).alias(
             "jsonpath"

@@ -218,8 +218,15 @@ ORDER BY 1, 2
 
 def q05_unique_violations(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
-    v = uniqueness.uniqueness_violations(li, ["l_orderkey", "l_linenumber"], "lineitem")
-    return v.orderBy("jsonpath")
+    # r6: the operator sorts the narrow key frame before building the
+    # violation strings (identical ordering — jsonpath is built from
+    # the keys alone)
+    return uniqueness.uniqueness_violations(
+        li,
+        ["l_orderkey", "l_linenumber"],
+        "lineitem",
+        order_by_jsonpath=True,
+    )
 
 
 Q05_SQL = """
