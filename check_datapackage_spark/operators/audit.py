@@ -44,11 +44,34 @@ def plan_units(df: DataFrame, partition: str = "source") -> DataFrame:
     return df.select(F.col(partition).alias("source"), "_bucket").distinct()
 
 
+#: file extensions that mark a dotted string as a PATH, not a catalog
+#: table (ADVICE r5: 'ledger.parquet' was silently rerouted to
+#: saveAsTable and resume re-did every unit)
+_PATH_SUFFIXES = (".parquet", ".orc", ".json", ".csv", ".avro", ".d", ".db")
+
+
 def _is_table_ident(ledger: str) -> bool:
     """Catalog table identifier (``catalog.db.ledger``) vs a filesystem
-    path: the Iceberg ledger is addressed as a table, the sandbox
-    parquet ledger as a path."""
-    return "/" not in ledger and "." in ledger
+    path. Explicit addressing wins: a ``table:`` prefix always means a
+    catalog table, a ``path:`` prefix (or any slash / known file
+    extension) always means a filesystem path; only bare dotted names
+    like ``db.ledger`` are inferred as tables."""
+    if ledger.startswith("table:"):
+        return True
+    if ledger.startswith("path:"):
+        return False
+    return (
+        "/" not in ledger
+        and "." in ledger
+        and not ledger.lower().endswith(_PATH_SUFFIXES)
+    )
+
+
+def _strip_prefix(ledger: str) -> str:
+    for p in ("table:", "path:"):
+        if ledger.startswith(p):
+            return ledger[len(p):]
+    return ledger
 
 
 def completed_units(spark: SparkSession, ledger: str) -> DataFrame:
@@ -56,7 +79,9 @@ def completed_units(spark: SparkSession, ledger: str) -> DataFrame:
     parquet directory path, or an Iceberg table identifier when the
     session has an Iceberg catalog (atomic appends + snapshot reads
     give exactly-once unit completion on a cluster)."""
-    if _is_table_ident(ledger):
+    is_table = _is_table_ident(ledger)
+    ledger = _strip_prefix(ledger)
+    if is_table:
         if not spark.catalog.tableExists(ledger):
             return spark.createDataFrame([], "source string, _bucket int")
         led = spark.read.table(ledger)
@@ -109,22 +134,31 @@ def record_units(
         (F.col("n_violations") == 0).alias("passed"),
         F.lit(int(time.time() * 1000)).alias("completed_at_ms"),
     )
-    if _is_table_ident(ledger):
+    is_table = _is_table_ident(ledger)
+    ledger = _strip_prefix(ledger)
+    if is_table:
         from pyspark.errors import AnalysisException
 
         spark = out.sparkSession
         if not spark.catalog.tableExists(ledger):
-            out.writeTo(ledger).partitionedBy(F.col("source")).create()
-        else:
             try:
-                out.writeTo(ledger).append()
+                out.writeTo(ledger).partitionedBy(F.col("source")).create()
+                return
             except AnalysisException:
-                # v1 catalog (no Iceberg in the sandbox): the v2 writer
-                # refuses appends — fall back to the v1 append path.
-                # On an Iceberg catalog the v2 branch is the one taken.
-                out.write.mode("append").partitionBy("source").saveAsTable(
-                    ledger
-                )
+                # ADVICE r5: two concurrent first runs can both observe
+                # tableExists()==False; the loser's create() fails with
+                # table-already-exists — fall through to append so both
+                # runs commit (exactly-once via Iceberg's atomic append)
+                pass
+        try:
+            out.writeTo(ledger).append()
+        except AnalysisException:
+            # v1 catalog (no Iceberg in the sandbox): the v2 writer
+            # refuses appends — fall back to the v1 append path.
+            # On an Iceberg catalog the v2 branch is the one taken.
+            out.write.mode("append").partitionBy("source").saveAsTable(
+                ledger
+            )
     else:
         out.write.mode("append").parquet(ledger)
 

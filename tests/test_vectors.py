@@ -281,3 +281,22 @@ def test_range_join_boundaries(spark):
         ).collect()
     )
     assert got == [1, 2]
+
+
+def test_table_ident_path_suffixes_and_prefixes():
+    """ADVICE r5: dotted relative paths like 'ledger.parquet' must not
+    be inferred as catalog tables; explicit prefixes always win."""
+    from check_datapackage_spark.operators.audit import (
+        _is_table_ident,
+        _strip_prefix,
+    )
+
+    assert not _is_table_ident("ledger.parquet")
+    assert not _is_table_ident("out.d")
+    assert not _is_table_ident("Ledger.PARQUET")
+    assert _is_table_ident("local.audit.ledger")
+    assert _is_table_ident("table:ledger.parquet")
+    assert not _is_table_ident("path:local.audit.ledger")
+    assert _strip_prefix("table:a.b") == "a.b"
+    assert _strip_prefix("path:/x/y") == "/x/y"
+    assert _strip_prefix("a.b") == "a.b"
