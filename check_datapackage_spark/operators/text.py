@@ -517,15 +517,42 @@ def quality_filter_rates(
     fleet-wide. Output: (source, n_docs, n_keep, keep_rate).
 
     Plan: map-side scoring (see :func:`hashed_linear_scores`) then one
-    map-side-combinable groupBy — a single small shuffle."""
-    words = F.split(normalize_text(F.col(text_col)), " ")
-    score = F.aggregate(
-        words,
-        F.lit(0).cast("long"),
-        lambda a, w: a + hashed_word_weight(w),
-    )
+    map-side-combinable groupBy — a single small shuffle. r6: the
+    per-word md5 weight runs in one Arrow pass (byte-identical ids —
+    same contract as :func:`md5_tokens_arrow`; normalization stays
+    JVM-side, integer sum is order-free)."""
+    import hashlib
+
+    from pyspark.sql import types as T
+
+    mod, half = _HQ_MOD, _HQ_MOD // 2
+
+    @F.pandas_udf(T.LongType())
+    def score_arrow(texts):
+        import pandas as pd
+
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            out.append(
+                sum(
+                    int.from_bytes(
+                        hashlib.md5(w.encode()).digest()[:4], "big"
+                    )
+                    % mod
+                    - half
+                    for w in t.split(" ")
+                )
+            )
+        return pd.Series(out, dtype="object").astype("Int64")
+
+    from .dedup import _spread
+
+    score = score_arrow(normalize_text(F.col(text_col)))
     return (
-        df.select(F.col(by), (score > 0).cast("long").alias("_keep"))
+        _spread(df).select(F.col(by), (score > 0).cast("long").alias("_keep"))
         .groupBy(by)
         .agg(
             F.count(F.lit(1)).alias("n_docs"),

@@ -199,13 +199,12 @@ def test_token_histogram_shuffles_buckets_not_tokens(spark, sf_dir):
         F.transform("words", lambda w: F.length(w).cast("long")).alias("tokens"),
     )
     p = plan_of(drift.token_histogram(tok, "tokens", vocab=100, n_buckets=10, by="source"))
-    assert "ArrowEvalPython" in p or "BatchEvalPython" in p, p
-    # the only Generate is the posexplode of the SMALL bincount vector
-    # (executes after the UDF — plan text prints last stage first), and
-    # the raw token arrays are never exploded
-    assert p.count("Generate") == 1 and "posexplode(_bc" in p, p
-    udf_pos = max(p.find("ArrowEvalPython"), p.find("BatchEvalPython"))
-    assert p.index("Generate") < udf_pos, p
+    # r6 shape: one MapInArrow pass emits per-(group, task) nonzero
+    # bucket partials directly — NO Generate anywhere (the r5 plan
+    # posexploded a per-ROW bincount vector), and the partial+final
+    # hash aggregates sum the tiny partial rows
+    assert "MapInArrow" in p, p
+    assert "Generate" not in p, p
     assert p.count("HashAggregate") >= 2, p
 
 
