@@ -84,21 +84,18 @@ def uniqueness_violations(
     dups = dup_key_counts_salted(df, keys) if salted else dup_key_counts(df, keys)
     key_str = F.concat_ws("|", *[F.col(k).cast("string") for k in keys])
     col_name = ",".join(keys)
+    jp = F.concat(F.lit(f"$.{table_name}["), key_str, F.lit(f"].{col_name}"))
     if order_by_jsonpath:
-        # r6 (guide §2.3): sort BEFORE the violation strings are built —
-        # the range-partition exchange then carries the key columns plus
-        # one sort-key string instead of 8 built strings per row; the
-        # projection below preserves the sort order. Ordering by the
-        # jsonpath EXPRESSION over the narrow frame is the identical
-        # ordering (same string, same rows).
-        jp = F.concat(
-            F.lit(f"$.{table_name}["), key_str, F.lit(f"].{col_name}")
-        )
-        dups = dups.orderBy(jp)
+        # r6 (guide §2.3): build jsonpath ONCE on the narrow key frame
+        # and sort on it BEFORE the other violation strings are built —
+        # the range-partition exchange carries the keys plus the one
+        # output string instead of 8 built strings per row; the
+        # projection below reuses the sorted column and preserves the
+        # order (identical ordering, identical rows).
+        dups = dups.withColumn("jsonpath", jp).orderBy("jsonpath")
+        jp = F.col("jsonpath")
     return dups.select(
-        F.concat(F.lit(f"$.{table_name}["), key_str, F.lit(f"].{col_name}")).alias(
-            "jsonpath"
-        ),
+        jp.alias("jsonpath"),
         F.lit("unique").alias("type"),
         F.lit(
             f"value of `{col_name}` must be unique but appears more than once"
