@@ -52,14 +52,25 @@ def contaminated_docs(
     """
     bench_text = bench_text_col or text_col
     # r6: Arrow shingle assembly (byte-identical, see shingles_arrow) —
-    # the interpreted slice/array_join tree dominated the map-side pass
+    # the interpreted slice/array_join tree dominated the map-side pass.
+    # Small corpora keep the JVM expression (the Arrow stages' fixed
+    # overhead outweighs the win below the gate); identical grams
+    # either way.
+    from .dedup import _SMALL_CORPUS
+
+    if corpus.limit(_SMALL_CORPUS + 1).count() <= _SMALL_CORPUS:
+        sh = shingles
+        spread = lambda d: d  # noqa: E731
+    else:
+        sh = shingles_arrow
+        spread = _spread
     bgrams = (
-        _spread(bench)
-        .select(F.explode(shingles_arrow(F.col(bench_text), n)).alias("g"))
+        spread(bench)
+        .select(F.explode(sh(F.col(bench_text), n)).alias("g"))
         .distinct()
     )
-    cgrams = _spread(corpus).select(
-        F.col(id_col), F.explode(shingles_arrow(F.col(text_col), n)).alias("g")
+    cgrams = spread(corpus).select(
+        F.col(id_col), F.explode(sh(F.col(text_col), n)).alias("g")
     )
     return (
         cgrams.join(F.broadcast(bgrams), "g")

@@ -726,18 +726,32 @@ def tfidf_top_terms(
             out.append(list(c.items()))
         return pd.Series(out)
 
-    from .dedup import _spread
+    from .dedup import _SMALL_CORPUS, _spread
 
-    tf = (
-        _spread(df)
-        .select(
+    if df.limit(_SMALL_CORPUS + 1).count() <= _SMALL_CORPUS:
+        # small input: the Arrow pass's fixed overhead outweighs the
+        # saved exchange — keep the classic explode + combine-backed
+        # groupBy (identical counts)
+        w = df.select(
             F.col(id_col),
             F.explode(
-                term_counts(normalize_text(F.col(text_col)))
-            ).alias("_wt"),
+                F.split(normalize_text(F.col(text_col)), " ")
+            ).alias("w"),
         )
-        .select(id_col, F.col("_wt.w").alias("w"), F.col("_wt.tf").alias("tf"))
-    )
+        tf = w.groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("tf"))
+    else:
+        tf = (
+            _spread(df)
+            .select(
+                F.col(id_col),
+                F.explode(
+                    term_counts(normalize_text(F.col(text_col)))
+                ).alias("_wt"),
+            )
+            .select(
+                id_col, F.col("_wt.w").alias("w"), F.col("_wt.tf").alias("tf")
+            )
+        )
     dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("doc_freq"))
     n = df.select(
         F.count_distinct(F.col(id_col)).alias("_n_docs")
