@@ -46,6 +46,12 @@ class CompiledCheck:
     message: str
     ok: Column
     instance: Column
+    #: layered shared-subexpression columns ``ok``/sibling checks
+    #: reference (layer i may reference layer i-1's names). Plan
+    #: builders inject them with ``plans.validation.bind_check_lets``
+    #: BEFORE using ``ok``; Catalyst prunes any a pruned check leaves
+    #: unreferenced. Empty for checks that need none.
+    lets: tuple = ()
 
 
 def _fmt(v) -> str:
@@ -242,21 +248,41 @@ def _variant_type_tag(sub: Column) -> Column:
     integer) — DECIMAL(p,0) maps to 'integer'; DOUBLE-with-zero-frac is
     handled by the caller via the double cast.
     """
-    s = F.schema_of_variant(sub)
-    return (
-        F.when(sub.isNull(), F.lit(None).cast("string"))
-        .when(F.is_variant_null(sub), F.lit("null"))
-        .when(s == "STRING", F.lit("string"))
-        .when(s == "BOOLEAN", F.lit("boolean"))
-        .when(s.isin("TINYINT", "SMALLINT", "INT", "BIGINT"), F.lit("integer"))
-        .when(s.rlike(r"^DECIMAL\(\d+,0\)$"), F.lit("integer"))
-        .when(
-            s.startswith("DECIMAL") | s.isin("DOUBLE", "FLOAT"), F.lit("number")
+    from .operators.text import let_col
+
+    # let-bind the value AND its schema string: variant expressions are
+    # interpreted (no codegen CSE), so an unbound ``s`` re-runs
+    # schema_of_variant once per CaseWhen branch probed (~8x/row) and an
+    # unbound ``sub`` re-extracts per reference. schema_of_variant/
+    # is_variant_null are null-safe (NULL -> NULL/false, probed), so
+    # eager evaluation inside the binding array cannot differ.
+    def _tag_of(x: Column, s: Column) -> Column:
+        return (
+            F.when(x.isNull(), F.lit(None).cast("string"))
+            .when(F.is_variant_null(x), F.lit("null"))
+            .when(s == "STRING", F.lit("string"))
+            .when(s == "BOOLEAN", F.lit("boolean"))
+            .when(
+                s.isin("TINYINT", "SMALLINT", "INT", "BIGINT"),
+                F.lit("integer"),
+            )
+            .when(s.rlike(r"^DECIMAL\(\d+,0\)$"), F.lit("integer"))
+            .when(
+                s.startswith("DECIMAL") | s.isin("DOUBLE", "FLOAT"),
+                F.lit("number"),
+            )
+            .when(s.startswith("OBJECT"), F.lit("object"))
+            .when(s.startswith("ARRAY"), F.lit("array"))
+            .otherwise(F.lit("other"))
         )
-        .when(s.startswith("OBJECT"), F.lit("object"))
-        .when(s.startswith("ARRAY"), F.lit("array"))
-        .otherwise(F.lit("other"))
-    )
+
+    def _with_sub(x: Column) -> Column:
+        def _with_schema(s: Column) -> Column:
+            return _tag_of(x, s)
+
+        return let_col(F.schema_of_variant(x), _with_schema)
+
+    return let_col(sub, _with_sub)
 
 
 def _json_type_pred(tag: Column, dbl: Column, declared) -> Column:
@@ -294,15 +320,19 @@ def _unique_items_pred(arr_v: Column) -> Column:
     from .operators.text import let_col
 
     def elem_canon(x: Column) -> Column:
-        tag = _variant_type_tag(x)
-        num = tag.isin("integer", "number")
-        return F.concat(
-            F.when(num, F.lit("num")).otherwise(F.schema_of_variant(x)),
-            F.lit("|"),
-            F.when(
-                num, F.try_variant_get(x, "$", "double").cast("string")
-            ).otherwise(x.cast("string")),
-        )
+        # tag let-bound: ``num`` is referenced on both sides of the
+        # concat and interpreted exprs re-evaluate per reference
+        def canon_of(tag: Column) -> Column:
+            num = tag.isin("integer", "number")
+            return F.concat(
+                F.when(num, F.lit("num")).otherwise(F.schema_of_variant(x)),
+                F.lit("|"),
+                F.when(
+                    num, F.try_variant_get(x, "$", "double").cast("string")
+                ).otherwise(x.cast("string")),
+            )
+
+        return let_col(_variant_type_tag(x), canon_of)
 
     canon = F.transform(arr_v, elem_canon)
     # let-bound: canon is referenced twice; unbound it would
@@ -573,10 +603,128 @@ def _schema_pred(schema: dict, base: Column, path: str) -> Column:
                 f"jsonSchema keyword {key!r} is not supported inside "
                 f"combinator sub-schemas (supported: {sorted(_JS_SUPPORTED)})"
             )
-    sub = F.try_variant_get(base, path, "variant")
-    tag = _variant_type_tag(sub)
-    dbl = F.try_variant_get(base, path, "double")
-    sstr = F.try_variant_get(base, path, "string")
+    if not (set(schema) & _JS_SUPPORTED):
+        return F.lit(True)  # annotations only: vacuously true, no extraction
+    return _let_chain_pred(schema, base, path)
+
+
+def _let_chain_pred(schema: dict, base: Column, path: str) -> Column:
+    """Bind the shared extractions of one :func:`_schema_pred` node as
+    higher-order-function LET variables, then build the predicate over
+    the bound slots.
+
+    Why: the predicate references ``tag``/``dbl``/``sstr``/``keys``/
+    ``entries`` once per keyword, and variant expressions are
+    interpreted — every reference re-walked the variant path and (for
+    ``tag``) re-ran ``schema_of_variant``. Binding makes each a cheap
+    slot read; every expression bound is null-safe (try_variant_get /
+    json_object_keys / map_entries return NULL on NULL input), so
+    eager evaluation in the binding array is value-identical. Columns
+    the schema's keywords don't need are passed through UNBOUND
+    (raw expressions) — correctness never depends on the needs
+    analysis, only the sharing does."""
+    from .operators.text import let_col
+
+    declared_t = schema.get("type")
+    types_l = (
+        declared_t if isinstance(declared_t, list)
+        else ([declared_t] if declared_t else [])
+    )
+    members = (
+        schema["enum"] if "enum" in schema
+        else ([schema["const"]] if "const" in schema else [])
+    )
+    need_dbl = (
+        "integer" in types_l
+        or any(
+            isinstance(e, (int, float)) and not isinstance(e, bool)
+            for e in members
+        )
+        or any(
+            k in schema
+            for k in ("multipleOf", "minimum", "maximum",
+                      "exclusiveMinimum", "exclusiveMaximum")
+        )
+    )
+    need_sstr = (
+        any(isinstance(e, (str, bool)) for e in members)
+        or any(
+            k in schema
+            for k in ("pattern", "format", "minLength", "maxLength")
+        )
+    )
+    arr_kw = any(
+        k in schema
+        for k in ("minItems", "maxItems", "uniqueItems", "items",
+                  "additionalItems", "contains")
+    )
+    obj_kw = any(
+        k in schema
+        for k in ("required", "properties", "minProperties",
+                  "maxProperties", "additionalProperties",
+                  "propertyNames", "patternProperties", "dependencies")
+    )
+    need_entries = isinstance(
+        schema.get("additionalProperties"), dict
+    ) or bool(schema.get("patternProperties"))
+
+    def with_sub(sub: Column) -> Column:
+        def with_tag(tag: Column) -> Column:
+            slots = {
+                "dbl": F.try_variant_get(base, path, "double"),
+                "sstr": F.try_variant_get(base, path, "string"),
+                "arr_v": F.try_variant_get(base, path, "array<variant>"),
+                "keys": F.json_object_keys(sub.cast("string")),
+                "entries": F.map_entries(
+                    F.try_variant_get(base, path, "map<string, variant>")
+                ),
+            }
+            wanted = [
+                ("dbl", need_dbl),
+                ("sstr", need_sstr),
+                ("arr_v", arr_kw),
+                ("keys", obj_kw),
+                ("entries", need_entries),
+            ]
+
+            def go(i: int) -> Column:
+                if i == len(wanted):
+                    return _schema_pred_body(
+                        schema, base, path, sub, tag,
+                        slots["dbl"], slots["sstr"], slots["arr_v"],
+                        slots["keys"], slots["entries"],
+                    )
+                name, needed = wanted[i]
+                if not needed:
+                    return go(i + 1)
+
+                def bind(x: Column) -> Column:
+                    slots[name] = x
+                    return go(i + 1)
+
+                return let_col(slots[name], bind)
+
+            return go(0)
+
+        return let_col(_variant_type_tag(sub), with_tag)
+
+    return let_col(F.try_variant_get(base, path, "variant"), with_sub)
+
+
+def _schema_pred_body(
+    schema: dict,
+    base: Column,
+    path: str,
+    sub: Column,
+    tag: Column,
+    dbl: Column,
+    sstr: Column,
+    arr_v: Column,
+    keys: Column,
+    entries: Column,
+) -> Column:
+    """The keyword predicates of one :func:`_schema_pred` node, built
+    over the (let-bound) shared extraction columns."""
     not_num = ~tag.isin("integer", "number")
     preds: list[Column] = []
 
@@ -624,7 +772,6 @@ def _schema_pred(schema: dict, base: Column, path: str) -> Column:
                   "additionalItems", "contains")
     )
     if arr_kw:
-        arr_v = F.try_variant_get(base, path, "array<variant>")
         not_array = tag != "array"
         if "minItems" in schema:
             preds.append(not_array | (F.size(arr_v) >= F.lit(int(schema["minItems"]))))
@@ -691,7 +838,6 @@ def _schema_pred(schema: dict, base: Column, path: str) -> Column:
                   "propertyNames", "patternProperties", "dependencies")
     )
     if obj_kw:
-        keys = F.json_object_keys(sub.cast("string"))
         for prop in schema.get("required", []):
             preds.append(keys.isNull() | F.array_contains(keys, F.lit(prop)))
         for prop, ps in (schema.get("properties") or {}).items():
@@ -739,9 +885,6 @@ def _schema_pred(schema: dict, base: Column, path: str) -> Column:
             # schema form: every UNCOVERED key's value must satisfy the
             # schema — dynamic-key value access via the object's
             # map<string, variant> entries (path-based gets can't)
-            entries = F.map_entries(
-                F.try_variant_get(base, path, "map<string, variant>")
-            )
             elem = (
                 lambda s: lambda e: _covered(e["key"]) | F.coalesce(
                     _schema_pred(s, e["value"], "$"), F.lit(False)
@@ -749,9 +892,6 @@ def _schema_pred(schema: dict, base: Column, path: str) -> Column:
             )(ap)
             preds.append(entries.isNull() | F.forall(entries, elem))
         if pp:
-            entries = F.map_entries(
-                F.try_variant_get(base, path, "map<string, variant>")
-            )
             for pat, ps in sorted(pp.items()):
                 if not isinstance(ps, dict):
                     raise ValueError(
@@ -890,22 +1030,81 @@ def compile_json_schema_checks(
     Reference semantics: jsonschema.Draft7Validator over the constraint
     sub-schemas in data-package-2-0.json (SURVEY §1.4).
     """
-    from .operators.text import let_col
+    import hashlib
 
     js = resolve_refs(field.constraints.json_schema or {})
     col = F.col(field.name)
-    v = F.try_parse_json(col)
     checks: list[CompiledCheck] = []
     inst = col.cast("string")
 
+    # Shared-subexpression columns: the parse and the per-path
+    # extractions are MATERIALIZED as layered projection columns
+    # (CompiledCheck.lets, injected by plans.validation.bind_check_lets)
+    # so they evaluate once per ROW shared across ALL of this field's
+    # checks — the previous per-check let-binding still re-parsed the
+    # JSON once per check per row (13x/row on q38; variant exprs are
+    # interpreted, no codegen CSE). Names are md5-scoped to the field
+    # so multi-JSON-field tables can't collide; unused slots are pruned
+    # by Catalyst's column pruning.
+    fkey = "js" + hashlib.md5(field.name.encode()).hexdigest()[:8]
+    vname = f"__{fkey}_v"
+    lets_layers: tuple = ({}, {}, {})
+    _path_slots: dict = {}
+    _key_slots: dict = {}
+
+    def _v() -> Column:
+        """The shared parse column — registered LAZILY so fields whose
+        checks never parse (e.g. array-typed columns validated via
+        items.required only) don't get an analysis-failing
+        try_parse_json over a non-string column."""
+        if vname not in lets_layers[0]:
+            lets_layers[0][vname] = F.try_parse_json(col)
+        return F.col(vname)
+
+    def _slot(path: str):
+        """(sub, tag, dbl, sstr) column names for a property path —
+        registered once, shared by every check on that path."""
+        s = _path_slots.get(path)
+        if s is None:
+            i = len(_path_slots)
+            sub_n = f"__{fkey}_p{i}_sub"
+            tag_n = f"__{fkey}_p{i}_tag"
+            dbl_n = f"__{fkey}_p{i}_dbl"
+            str_n = f"__{fkey}_p{i}_str"
+            lets_layers[1][sub_n] = F.try_variant_get(_v(), path, "variant")
+            lets_layers[1][dbl_n] = F.try_variant_get(_v(), path, "double")
+            lets_layers[1][str_n] = F.try_variant_get(_v(), path, "string")
+            lets_layers[2][tag_n] = _variant_type_tag(F.col(sub_n))
+            s = _path_slots[path] = (sub_n, tag_n, dbl_n, str_n)
+        return s
+
+    def _arr_slot(path: str) -> str:
+        """array<variant> column name for a property path."""
+        name = f"{_slot(path)[0]}_arr"
+        if name not in lets_layers[1]:
+            lets_layers[1][name] = F.try_variant_get(
+                _v(), path, "array<variant>"
+            )
+        return name
+
+    def _keys_slot(json_path: str) -> str:
+        """json_object_keys column name for one object node."""
+        name = _key_slots.get(json_path)
+        if name is None:
+            name = f"__{fkey}_k{len(_key_slots)}_keys"
+            parent_json = (
+                col
+                if json_path == "$"
+                else F.get_json_object(col, json_path)
+            )
+            lets_layers[1][name] = F.json_object_keys(parent_json)
+            _key_slots[json_path] = name
+        return name
+
     def add(kind: str, issue_type: str, message: str, ok) -> None:
-        # ``ok`` may be a 1-arg builder over the LET-BOUND variant:
-        # unbound, every try_variant_get/tag reference re-parses the
-        # JSON per row (variant exprs are interpreted — no codegen CSE),
-        # so a type+enum property check paid try_parse_json 4-6x/row
-        # (measured: q38 7.6 s -> 3.4 s at sf0.1 after binding)
+        # ``ok`` may be a 1-arg builder over the shared parse column
         if callable(ok):
-            ok = let_col(v, ok)
+            ok = ok(_v())
         checks.append(
             CompiledCheck(
                 name=f"{field.name}.jsonSchema.{kind}",
@@ -914,24 +1113,24 @@ def compile_json_schema_checks(
                 message=message,
                 ok=ok,
                 instance=inst,
+                lets=lets_layers,
             )
         )
 
-    valid = v.isNotNull()
     top_type = js.get("type")
     if top_type == "object":
         add(
             "type",
             "type",
             "value is not a JSON object",
-            col.isNull() | (valid & col.rlike(r"^\s*\{")),
+            col.isNull() | (_v().isNotNull() & col.rlike(r"^\s*\{")),
         )
     elif top_type == "array":
         add(
             "type",
             "type",
             "value is not a JSON array",
-            col.isNull() | (valid & col.rlike(r"^\s*\[")),
+            col.isNull() | (_v().isNotNull() & col.rlike(r"^\s*\[")),
         )
     elif top_type:
         # scalar root type (string/integer/number/boolean/null) or a
@@ -960,11 +1159,12 @@ def compile_json_schema_checks(
     def walk(node: dict, json_path: str, kind_prefix: str, dotted_prefix: str) -> None:
         # key presence for required: json_object_keys of this node's
         # JSON text (the column itself at the root, get_json_object
-        # extraction below it). NULL keys ⇒ not an object ⇒ no-op.
-        parent_json = (
-            col if json_path == "$" else F.get_json_object(col, json_path)
+        # extraction below it), hoisted to a shared slot so N required
+        # props re-read one column instead of re-parsing N times.
+        # NULL keys ⇒ not an object ⇒ no-op.
+        keys = (
+            F.col(_keys_slot(json_path)) if node.get("required") else None
         )
-        keys = F.json_object_keys(parent_json)
         for prop in node.get("required", []):
             dotted = f"{dotted_prefix}{prop}"
             add(
@@ -983,15 +1183,18 @@ def compile_json_schema_checks(
             kprefix = f"{kind_prefix}properties.{prop}."
 
             def P(build, _path=path):
-                # per-check builder over the let-bound variant: derive
-                # sub/tag/dbl/sstr from the SINGLE parse add() binds
+                # per-check builder over the SHARED per-path slots:
+                # sub/tag/dbl/sstr are materialized once per row for
+                # the whole field (not per check — interpreted variant
+                # exprs have no codegen CSE), so every reference the
+                # builder makes is a column read
                 def ok_of(vv):
-                    sub = F.try_variant_get(vv, _path, "variant")
+                    sub_n, tag_n, dbl_n, str_n = _slot(_path)
                     return build(
-                        col.isNull() | sub.isNull(),  # absent
-                        _variant_type_tag(sub),  # tag
-                        F.try_variant_get(vv, _path, "double"),  # dbl
-                        F.try_variant_get(vv, _path, "string"),  # sstr
+                        col.isNull() | F.col(sub_n).isNull(),  # absent
+                        F.col(tag_n),
+                        F.col(dbl_n),
+                        F.col(str_n),
                         vv,
                     )
 
@@ -1095,15 +1298,15 @@ def compile_json_schema_checks(
             if arr_kw:
 
                 def A(build, _path=path):
-                    # array-keyword builder over the let-bound variant:
-                    # absent gate, not-array gate and the array<variant>
-                    # cast all derive from the SINGLE parse add() binds
+                    # array-keyword builder over the SHARED per-path
+                    # slots: absent gate, not-array gate and the
+                    # array<variant> cast all read materialized columns
                     def ok_of(vv):
-                        sub = F.try_variant_get(vv, _path, "variant")
+                        sub_n, tag_n, _dbl_n, _str_n = _slot(_path)
                         return build(
-                            col.isNull() | sub.isNull(),  # absent
-                            _variant_type_tag(sub) != "array",  # not_array
-                            F.try_variant_get(vv, _path, "array<variant>"),
+                            col.isNull() | F.col(sub_n).isNull(),
+                            F.col(tag_n) != "array",
+                            F.col(_arr_slot(_path)),
                         )
 
                     return ok_of
@@ -1167,7 +1370,7 @@ def compile_json_schema_checks(
 
                     def items_ok(_rest, _path=path):
                         def ok_of(vv):
-                            sub = F.try_variant_get(vv, _path, "variant")
+                            sub = F.col(_slot(_path)[0])  # shared per-path slot
                             return (
                                 col.isNull()
                                 | sub.isNull()
@@ -1199,7 +1402,7 @@ def compile_json_schema_checks(
 
                 def tuple_items_ok(_mini, _path=path):
                     def ok_of(vv):
-                        sub = F.try_variant_get(vv, _path, "variant")
+                        sub = F.col(_slot(_path)[0])  # shared per-path slot
                         return (
                             col.isNull()
                             | sub.isNull()
@@ -1231,7 +1434,7 @@ def compile_json_schema_checks(
                     # introspect arity; default args would count)
                     def comb_ok(_subs, _comb, _path=path):
                         def ok_of(vv):
-                            sub = F.try_variant_get(vv, _path, "variant")
+                            sub = F.col(_slot(_path)[0])  # shared per-path slot
                             member = [
                                 F.coalesce(
                                     _schema_pred(s, vv, _path), F.lit(False)
@@ -1265,7 +1468,7 @@ def compile_json_schema_checks(
 
                 def not_ok(_s, _path=path):
                     def ok_of(vv):
-                        sub = F.try_variant_get(vv, _path, "variant")
+                        sub = F.col(_slot(_path)[0])  # shared per-path slot
                         return (
                             col.isNull()
                             | sub.isNull()
@@ -1337,7 +1540,7 @@ def compile_json_schema_checks(
 
                 def ext_ok(_mini, _path=path):
                     def ok_of(vv):
-                        sub = F.try_variant_get(vv, _path, "variant")
+                        sub = F.col(_slot(_path)[0])  # shared per-path slot
                         return (
                             col.isNull()
                             | sub.isNull()

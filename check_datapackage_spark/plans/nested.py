@@ -58,6 +58,10 @@ def nested_violations(
 
         return df.sparkSession.createDataFrame([], VIOLATION_FULL_SCHEMA)
 
+    from .validation import bind_check_lets
+
+    elem_fields = bind_check_lets(elem_fields, checks)
+
     elems = []
     for ck in checks:
         jsonpath = F.concat(

@@ -33,6 +33,30 @@ from ..issue import VIOLATION_COLUMNS, finalize_violations
 from ..spec import CheckConfig, Exclusion, TableSpec
 
 
+def bind_check_lets(df: DataFrame, checks: Sequence[CompiledCheck]) -> DataFrame:
+    """Inject the checks' shared-subexpression columns
+    (:attr:`CompiledCheck.lets`) as layered projections.
+
+    Layer ``i`` may reference layer ``i-1``'s names (e.g. a variant
+    type-tag column over the materialized extraction column), so each
+    layer is its own ``withColumns``. Names are field-scoped by the
+    compiler, so merging across checks/fields is collision-free, and
+    Catalyst's column pruning drops any slot the surviving checks don't
+    reference — over-registration costs nothing at runtime."""
+    layers: list[dict] = []
+    for ck in checks:
+        for i, layer in enumerate(getattr(ck, "lets", ()) or ()):
+            if not layer:
+                continue
+            while len(layers) <= i:
+                layers.append({})
+            layers[i].update(layer)
+    for layer in layers:
+        if layer:
+            df = df.withColumns(layer)
+    return df
+
+
 def _jsonpath_col(table: str, row_key: Optional[Column], column: Optional[str]) -> Column:
     """Build ``$.<table>[<row_key>].<column>`` — the data-plane analog of
     the reference's jsonpath addresses (FIXTURES.md F4 contract)."""
@@ -65,6 +89,7 @@ def violations_plan(
     if not checks:
         return df.sparkSession.createDataFrame([], schema=_empty_schema())
 
+    df = bind_check_lets(df, checks)
     if row_key is None:
         key_col = F.monotonically_increasing_id().cast("string")
     elif isinstance(row_key, (list, tuple)):
@@ -222,6 +247,7 @@ def summary_plan(
             ),
         ).drop(*([] if partition else ["partition"]))
 
+    df = bind_check_lets(df, checks)
     group = [F.col(partition).cast("string").alias("partition")] if partition else []
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for i, ck in enumerate(checks):

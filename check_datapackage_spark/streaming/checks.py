@@ -58,9 +58,12 @@ def windowed_violation_counts(
     by the watermark; late rows beyond it are dropped, matching the
     standard Structured Streaming contract.
     """
+    from ..plans.validation import bind_check_lets
+
     # watermarks require TIMESTAMP (not NTZ); session TZ is pinned UTC so
     # the cast preserves the wall-clock instant
     stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    stream = bind_check_lets(stream, checks)
     fails = [
         F.sum(F.when(~ck.ok, F.lit(1)).otherwise(F.lit(0))).alias(f"_c{i}")
         for i, ck in enumerate(checks)
