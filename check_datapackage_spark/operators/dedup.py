@@ -235,9 +235,9 @@ def _signature_array(
     fresh-JVM run 26.5 s → 15.5 s — generated-code size is the cold
     cost)."""
     if method == "arrow":
-        import hashlib
-
         from pyspark.sql import types as T
+
+        from .text import md5_head8_int64
 
         rng = np.random.default_rng(20260818)
         mult = rng.integers(1, 2**62, n_hashes, dtype=np.int64) * 2 + 1
@@ -246,24 +246,27 @@ def _signature_array(
 
         @F.pandas_udf(T.ArrayType(T.LongType()))
         def sig(texts: pd.Series) -> pd.Series:
-            out = []
+            # collect every shingle of the batch, hash them in ONE
+            # vectorized md5 pass (values bit-identical to the previous
+            # per-shingle hashlib loop — see md5_head8_int64), then take
+            # per-doc minima over slices. min() is order-free, so the
+            # per-doc set-iteration order changing the slice layout
+            # cannot change a signature.
+            counts = []
+            enc: list[bytes] = []
             for t in texts:
                 words = (t or "").lower().split()
                 n = max(len(words) - k + 1, 1)
                 sh = {" ".join(words[i : i + k]) for i in range(n)}
-                hs = np.fromiter(
-                    (
-                        int.from_bytes(
-                            hashlib.md5(s.encode()).digest()[:8],
-                            "little",
-                            signed=True,
-                        )
-                        for s in sh
-                    ),
-                    dtype=np.int64,
-                    count=len(sh),
-                )
-                with np.errstate(over="ignore"):
+                counts.append(len(sh))
+                enc.extend(s.encode() for s in sh)
+            hs_all = md5_head8_int64(enc)
+            out = []
+            pos = 0
+            with np.errstate(over="ignore"):
+                for m in counts:
+                    hs = hs_all[pos : pos + m]
+                    pos += m
                     out.append(
                         (hs[:, None] * mult[None, :] + add[None, :]).min(axis=0)
                     )

@@ -340,6 +340,106 @@ def let_col(value, body) -> Column:
     return F.transform(F.array(value), body)[0]
 
 
+#: per-length MD5 pad suffix for single-block messages (len <= 55):
+#: 0x80 terminator, zero fill to byte 56, 8-byte little-endian bit length
+_MD5_SUF = None
+
+
+def md5_head8_int64(msgs) -> "np.ndarray":  # noqa: F821
+    """``int.from_bytes(md5(m).digest()[:8], "little", signed=True)``
+    for a list of byte strings — numpy-vectorized.
+
+    Messages <= 55 bytes (every k-word shingle in practice) are a
+    single MD5 block: the whole batch is padded via a per-length
+    suffix table, packed into one (n, 16) uint32 matrix, and run
+    through the 64 MD5 rounds as elementwise uint32 ops — bit-identical
+    to hashlib by construction (same algorithm), ~5x less Python
+    overhead than one ``hashlib.md5`` call per shingle (measured: a
+    10k-doc batch's signature pass spent 0.63 s of 1.11 s in hashlib
+    calls). Longer messages fall back to hashlib, so values never
+    depend on the path taken."""
+    import hashlib
+    import struct
+
+    import numpy as np
+
+    global _MD5_SUF
+    if _MD5_SUF is None:
+        _MD5_SUF = [
+            b"\x80" + b"\0" * (55 - L) + struct.pack("<Q", L * 8)
+            for L in range(56)
+        ]
+    n = len(msgs)
+    out = np.empty(n, dtype=np.int64)
+    big = [i for i, m in enumerate(msgs) if len(m) > 55]
+    if len(big) < n:
+        if big:
+            bigset = set(big)
+            small_msgs = [m for i, m in enumerate(msgs) if i not in bigset]
+            small_idx = np.array(
+                [i for i in range(n) if i not in bigset], dtype=np.int64
+            )
+        else:
+            small_msgs = msgs
+            small_idx = None
+        padded = b"".join(m + _MD5_SUF[len(m)] for m in small_msgs)
+        M = np.frombuffer(padded, dtype=np.uint8).reshape(-1, 64).view(np.uint32)
+        ns = M.shape[0]
+        A = np.full(ns, 0x67452301, dtype=np.uint32)
+        B = np.full(ns, 0xEFCDAB89, dtype=np.uint32)
+        C = np.full(ns, 0x98BADCFE, dtype=np.uint32)
+        D = np.full(ns, 0x10325476, dtype=np.uint32)
+        for i in range(64):
+            if i < 16:
+                f = (B & C) | (~B & D)
+                g = i
+            elif i < 32:
+                f = (D & B) | (~D & C)
+                g = (5 * i + 1) % 16
+            elif i < 48:
+                f = B ^ C ^ D
+                g = (3 * i + 5) % 16
+            else:
+                f = C ^ (B | ~D)
+                g = (7 * i) % 16
+            tmp = A + f + np.uint32(_MD5_K[i]) + M[:, g]
+            s = _MD5_S[i]
+            rot = (tmp << np.uint32(s)) | (tmp >> np.uint32(32 - s))
+            A, D, C, B = D, C, B, B + rot
+        a = (A + np.uint32(0x67452301)).astype(np.uint64)
+        b = (B + np.uint32(0xEFCDAB89)).astype(np.uint64)
+        head = (a | (b << np.uint64(32))).view(np.int64)
+        if small_idx is None:
+            out[:] = head
+        else:
+            out[small_idx] = head
+    for i in big:
+        out[i] = int.from_bytes(
+            hashlib.md5(msgs[i]).digest()[:8], "little", signed=True
+        )
+    return out
+
+
+#: RFC 1321 round constants / shift amounts
+_MD5_K = [
+    0xD76AA478, 0xE8C7B756, 0x242070DB, 0xC1BDCEEE, 0xF57C0FAF, 0x4787C62A,
+    0xA8304613, 0xFD469501, 0x698098D8, 0x8B44F7AF, 0xFFFF5BB1, 0x895CD7BE,
+    0x6B901122, 0xFD987193, 0xA679438E, 0x49B40821, 0xF61E2562, 0xC040B340,
+    0x265E5A51, 0xE9B6C7AA, 0xD62F105D, 0x02441453, 0xD8A1E681, 0xE7D3FBC8,
+    0x21E1CDE6, 0xC33707D6, 0xF4D50D87, 0x455A14ED, 0xA9E3E905, 0xFCEFA3F8,
+    0x676F02D9, 0x8D2A4C8A, 0xFFFA3942, 0x8771F681, 0x6D9D6122, 0xFDE5380C,
+    0xA4BEEA44, 0x4BDECFA9, 0xF6BB4B60, 0xBEBFBC70, 0x289B7EC6, 0xEAA127FA,
+    0xD4EF3085, 0x04881D05, 0xD9D4D039, 0xE6DB99E5, 0x1FA27CF8, 0xC4AC5665,
+    0xF4292244, 0x432AFF97, 0xAB9423A7, 0xFC93A039, 0x655B59C3, 0x8F0CCC92,
+    0xFFEFF47D, 0x85845DD1, 0x6FA87E4F, 0xFE2CE6E0, 0xA3014314, 0x4E0811A1,
+    0xF7537E82, 0xBD3AF235, 0x2AD7D2BB, 0xEB86D391,
+]
+_MD5_S = (
+    [7, 12, 17, 22] * 4 + [5, 9, 14, 20] * 4 + [4, 11, 16, 23] * 4
+    + [6, 10, 15, 21] * 4
+)
+
+
 def fingerprint_md5(col: Column) -> Column:
     """Content fingerprint over the normalized text (md5 — portable to
     any SQL engine for oracle checks)."""

@@ -1113,12 +1113,24 @@ def q30_json_props(spark, sf_dir):
     """P1 analog on data: JSONPath select over a JSON string column +
     C2 'object' validity — get_json_object / try_parse_json."""
     ev = _t(spark, sf_dir, "events")
-    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    # ONE parse per row: validity and $.k both come off the same
+    # let-bound variant (get_json_object + try_parse_json each parsed
+    # the full document — 2 parses/row for one scalar and a flag).
+    # try_variant_get(.., "long") == get_json_object(..).cast("long")
+    # on integer-valued k (BIGINT variant → long; absent/invalid →
+    # NULL either way) — oracle-verified at sf0.01/sf0.1.
+    row = F.transform(
+        F.array(F.try_parse_json(F.col("props"))),
+        lambda vv: F.struct(
+            vv.isNotNull().alias("valid"),
+            F.try_variant_get(vv, "$.k", "long").alias("k"),
+        ),
+    )[0]
     return (
         ev.select(
             "event_type",
-            k.alias("_k"),
-            F.try_parse_json(F.col("props")).isNotNull().alias("_valid"),
+            row["k"].alias("_k"),
+            row["valid"].alias("_valid"),
         )
         .groupBy("event_type")
         .agg(

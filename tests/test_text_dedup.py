@@ -523,3 +523,25 @@ def test_semantic_dedup_two_level_planted_pair(spark, emb):
     assert all(r["id_a"] < r["id_b"] for r in rows)
     rows2 = out.collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+
+
+def test_md5_head8_int64_matches_hashlib():
+    """The vectorized single-block MD5 behind minhash signatures must be
+    bit-identical to hashlib on every length, including the 55/56-byte
+    single-vs-multi-block boundary and empty input."""
+    import hashlib
+
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    msgs = [
+        bytes(rng.integers(0, 256, int(n), dtype=np.uint8))
+        for n in rng.integers(0, 120, 2000)
+    ]
+    msgs += [b"", b"a" * 54, b"a" * 55, b"a" * 56, b"a" * 64, b"a" * 119]
+    want = [
+        int.from_bytes(hashlib.md5(m).digest()[:8], "little", signed=True)
+        for m in msgs
+    ]
+    got = text.md5_head8_int64(msgs)
+    assert list(got) == want
