@@ -140,9 +140,30 @@ def connected_components(
             e.select(F.col("u").alias("id"), F.col("u").alias("component"))
             .schema
         )
-        return spark.createDataFrame(
-            sorted(comp.items()), schema=out_schema
-        )
+        # Arrow-path createDataFrame: the Python-rows path re-pickles
+        # through a Python worker on every downstream action (~0.6 s
+        # even for tiny frames). Ids are non-null (edge endpoints), so
+        # the pandas conversion is exact for both the int64 and the
+        # string id case (object dtype keeps strings as-is).
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        items = sorted(comp.items())
+        if isinstance(out_schema["id"].dataType, (T.LongType, T.IntegerType)):
+            pdf = pd.DataFrame(
+                {
+                    "id": np.fromiter(
+                        (k for k, _ in items), dtype=np.int64, count=len(items)
+                    ),
+                    "component": np.fromiter(
+                        (v for _, v in items), dtype=np.int64, count=len(items)
+                    ),
+                }
+            )
+        else:
+            pdf = pd.DataFrame(items, columns=["id", "component"], dtype=object)
+        return spark.createDataFrame(pdf, schema=out_schema)
     for _ in range(max_iter):
         e = _small_star(_large_star(e)).localCheckpoint()
         sig = tuple(e.agg(*sig_cols).first())

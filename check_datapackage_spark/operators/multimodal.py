@@ -207,33 +207,51 @@ def frame_sample_plan(
 
 def synth_assets(spark, n: int = 64) -> DataFrame:
     """Deterministic fake multimodal table for tests: payload bytes are
-    a function of the id; media types cycle through the allowed set."""
-    media = ["image/png", "image/jpeg", "audio/wav"]
-    rows = []
-    for i in range(n):
-        payload = (f"asset-{i:06d}".encode() * 7)[:100]
-        m = media[i % 3]
-        rows.append(
-            (
-                f"doc-{i:06d}",
-                bytearray(payload),
-                {
-                    "media_type": m,
-                    "width": 32 + i if m.startswith("image") else None,
-                    "height": 24 + i if m.startswith("image") else None,
-                    "n_channels": 3 if m.startswith("image") else 1,
-                    "duration_ms": 1000 + i if m == "audio/wav" else None,
-                    "sample_rate": 16000 if m == "audio/wav" else None,
-                },
+    a function of the id; media types cycle through the allowed set.
+
+    Built JVM-side from ``spark.range`` — a ``createDataFrame`` over
+    Python row objects re-runs the pickle → Python-worker pipeline on
+    EVERY action (measured 1.9 s per count() for 64 rows with the
+    nested struct + binary payload; the whole of q22's floor), while
+    the expression-built frame evaluates in codegen. Values are
+    identical: the payload is ASCII so the string→binary cast yields
+    the same bytes as ``(f"asset-{i:06d}".encode() * 7)[:100]``."""
+    i = F.col("id")
+    is_img = (i % 3) < 2
+    is_audio = (i % 3) == 2
+    null_i = F.lit(None).cast("int")
+    return (
+        spark.range(n)
+        .coalesce(4)
+        .select(
+            F.format_string("doc-%06d", i).alias("doc_id"),
+            F.substring(
+                F.repeat(F.format_string("asset-%06d", i), 7), 1, 100
             )
+            .cast("binary")
+            .alias("payload"),
+            F.struct(
+                F.element_at(
+                    F.array(
+                        F.lit("image/png"),
+                        F.lit("image/jpeg"),
+                        F.lit("audio/wav"),
+                    ),
+                    (i % 3).cast("int") + 1,
+                ).alias("media_type"),
+                F.when(is_img, (i + 32).cast("int"))
+                .otherwise(null_i)
+                .alias("width"),
+                F.when(is_img, (i + 24).cast("int"))
+                .otherwise(null_i)
+                .alias("height"),
+                F.when(is_img, F.lit(3)).otherwise(F.lit(1)).alias("n_channels"),
+                F.when(is_audio, i + 1000)
+                .otherwise(F.lit(None).cast("long"))
+                .alias("duration_ms"),
+                F.when(is_audio, F.lit(16000))
+                .otherwise(null_i)
+                .alias("sample_rate"),
+            ).alias("meta"),
         )
-    schema = T.StructType(
-        [
-            T.StructField("doc_id", T.StringType(), False),
-            T.StructField("payload", T.BinaryType(), True),
-            T.StructField("meta", ASSET_META_SCHEMA, True),
-        ]
     )
-    # few partitions for a tiny fixture — one Python worker per partition
-    # in mapInPandas, so default parallelism would be pure overhead here
-    return spark.createDataFrame(rows, schema).coalesce(4)

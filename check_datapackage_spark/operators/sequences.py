@@ -267,6 +267,14 @@ def funnel_counts(
         conv = 1.0 if prev is None else (None if prev == 0 else round(n / prev, 6))
         rows.append((i + 1, step, n, conv))
         prev = n
+    # Arrow-path createDataFrame (object dtype keeps the NULL
+    # conversion slot exact) — the Python-rows path re-pickles through
+    # a Python worker on every downstream action (~0.6 s per frame)
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        rows, columns=["step_idx", "step", "n_users", "conversion"], dtype=object
+    )
     return spark.createDataFrame(
-        rows, "step_idx int, step string, n_users bigint, conversion double"
+        pdf, "step_idx int, step string, n_users bigint, conversion double"
     )

@@ -731,28 +731,48 @@ def _verify_pairs_cosine(df, b, threshold, id_col, vec_col):
 
     slack = float(threshold) - 1e-4
 
-    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        ids = pdf["_id"].to_numpy(dtype=np.int64)
-        if len(ids) < 2:
-            return pd.DataFrame(
-                {"id_a": np.empty(0, np.int64), "id_b": np.empty(0, np.int64)}
-            )
-        m = np.vstack(
-            [np.asarray(v, dtype=np.float64) for v in pdf["_v"].to_numpy()]
-        )
+    def bucket_pairs(ids, vecs):
+        m = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
         nrm = np.linalg.norm(m, axis=1)
         nrm[nrm == 0] = 1.0
         g = (m / nrm[:, None]) @ (m / nrm[:, None]).T
         ia, ib = np.triu_indices(len(ids), k=1)
         keep = g[ia, ib] >= slack
         a, bb = ids[ia[keep]], ids[ib[keep]]
+        return np.minimum(a, bb), np.maximum(a, bb)
+
+    def group_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        out_a: list = []
+        out_b: list = []
+        for _, sub in pdf.groupby("bucket", sort=False):
+            if len(sub) < 2:
+                continue
+            a, bb = bucket_pairs(
+                sub["_id"].to_numpy(dtype=np.int64), sub["_v"].to_numpy()
+            )
+            if a.size:
+                out_a.append(a)
+                out_b.append(bb)
+        if not out_a:
+            return pd.DataFrame(
+                {"id_a": np.empty(0, np.int64), "id_b": np.empty(0, np.int64)}
+            )
         return pd.DataFrame(
-            {"id_a": np.minimum(a, bb), "id_b": np.maximum(a, bb)}
+            {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
         )
 
+    # one pandas group per HASHED-bucket shard, not per bucket:
+    # applyInPandas converts a pandas frame per GROUP, and LSH buckets
+    # average only a few vectors each (20k vectors × 4 tables over
+    # 4×2^12 buckets ≈ 1-5 rows/bucket) — tens of thousands of tiny
+    # frames were the stage's cost, not the Gram math. Hash-sharding
+    # keeps every bucket's rows in one group (bucket → one shard) while
+    # amortizing the conversion; pair emission per bucket is unchanged.
+    ng = max(b.sparkSession.sparkContext.defaultParallelism * 4, 64)
     pairs = (
-        b.groupBy("bucket")
-        .applyInPandas(bucket_pairs, "id_a long, id_b long")
+        b.withColumn("_g", F.pmod(F.xxhash64("bucket"), F.lit(ng)))
+        .groupBy("_g")
+        .applyInPandas(group_pairs, "id_a long, id_b long")
         .distinct()
         .persist()
     )
