@@ -256,33 +256,38 @@ def _variant_type_tag(sub: Column) -> Column:
     # unbound ``sub`` re-extracts per reference. schema_of_variant/
     # is_variant_null are null-safe (NULL -> NULL/false, probed), so
     # eager evaluation inside the binding array cannot differ.
-    def _tag_of(x: Column, s: Column) -> Column:
-        return (
-            F.when(x.isNull(), F.lit(None).cast("string"))
-            .when(F.is_variant_null(x), F.lit("null"))
-            .when(s == "STRING", F.lit("string"))
-            .when(s == "BOOLEAN", F.lit("boolean"))
-            .when(
-                s.isin("TINYINT", "SMALLINT", "INT", "BIGINT"),
-                F.lit("integer"),
-            )
-            .when(s.rlike(r"^DECIMAL\(\d+,0\)$"), F.lit("integer"))
-            .when(
-                s.startswith("DECIMAL") | s.isin("DOUBLE", "FLOAT"),
-                F.lit("number"),
-            )
-            .when(s.startswith("OBJECT"), F.lit("object"))
-            .when(s.startswith("ARRAY"), F.lit("array"))
-            .otherwise(F.lit("other"))
-        )
-
     def _with_sub(x: Column) -> Column:
         def _with_schema(s: Column) -> Column:
-            return _tag_of(x, s)
+            return _variant_type_tag_from(x, s)
 
         return let_col(F.schema_of_variant(x), _with_schema)
 
     return let_col(sub, _with_sub)
+
+
+def _variant_type_tag_from(x: Column, s: Column) -> Column:
+    """The tag CaseWhen over an ALREADY-shared value ``x`` and its
+    ``schema_of_variant`` string ``s`` — pure codegen-able expressions,
+    used directly when both are materialized projection columns (a
+    let-binding wrapper would force the whole consumer interpreted)."""
+    return (
+        F.when(x.isNull(), F.lit(None).cast("string"))
+        .when(F.is_variant_null(x), F.lit("null"))
+        .when(s == "STRING", F.lit("string"))
+        .when(s == "BOOLEAN", F.lit("boolean"))
+        .when(
+            s.isin("TINYINT", "SMALLINT", "INT", "BIGINT"),
+            F.lit("integer"),
+        )
+        .when(s.rlike(r"^DECIMAL\(\d+,0\)$"), F.lit("integer"))
+        .when(
+            s.startswith("DECIMAL") | s.isin("DOUBLE", "FLOAT"),
+            F.lit("number"),
+        )
+        .when(s.startswith("OBJECT"), F.lit("object"))
+        .when(s.startswith("ARRAY"), F.lit("array"))
+        .otherwise(F.lit("other"))
+    )
 
 
 def _json_type_pred(tag: Column, dbl: Column, declared) -> Column:
@@ -571,7 +576,9 @@ def _enum_member_pred(values, tag: Column, dbl: Column, sstr: Column) -> Column:
     return member
 
 
-def _schema_pred(schema: dict, base: Column, path: str) -> Column:
+def _schema_pred(
+    schema: dict, base: Column, path: str, slots: Optional[dict] = None
+) -> Column:
     """Satisfaction predicate for a Draft-7 sub-schema over the variant
     value at ``path`` within variant ``base`` — the recursive core that
     lets ``anyOf``/``oneOf``/``allOf``/``not`` compose anywhere inside a
@@ -605,10 +612,12 @@ def _schema_pred(schema: dict, base: Column, path: str) -> Column:
             )
     if not (set(schema) & _JS_SUPPORTED):
         return F.lit(True)  # annotations only: vacuously true, no extraction
-    return _let_chain_pred(schema, base, path)
+    return _let_chain_pred(schema, base, path, slots)
 
 
-def _let_chain_pred(schema: dict, base: Column, path: str) -> Column:
+def _let_chain_pred(
+    schema: dict, base: Column, path: str, given: Optional[dict] = None
+) -> Column:
     """Bind the shared extractions of one :func:`_schema_pred` node as
     higher-order-function LET variables, then build the predicate over
     the bound slots.
@@ -622,8 +631,18 @@ def _let_chain_pred(schema: dict, base: Column, path: str) -> Column:
     eager evaluation in the binding array is value-identical. Columns
     the schema's keywords don't need are passed through UNBOUND
     (raw expressions) — correctness never depends on the needs
-    analysis, only the sharing does."""
+    analysis, only the sharing does.
+
+    ``given`` carries ALREADY-shared columns for this (base, path) —
+    materialized projection slots from the top-level compiler, or the
+    parent combinator node's bound lambda variables — keyed by
+    "sub"/"tag"/"dbl"/"sstr"/"keys"/"entries". Whatever is given is
+    used as-is (no re-extraction, no wrapper); when everything a
+    schema needs is given, the predicate contains NO let-binding at
+    all and stays codegen-eligible."""
     from .operators.text import let_col
+
+    given = given or {}
 
     declared_t = schema.get("type")
     types_l = (
@@ -671,28 +690,51 @@ def _let_chain_pred(schema: dict, base: Column, path: str) -> Column:
     def with_sub(sub: Column) -> Column:
         def with_tag(tag: Column) -> Column:
             slots = {
-                "dbl": F.try_variant_get(base, path, "double"),
-                "sstr": F.try_variant_get(base, path, "string"),
-                "arr_v": F.try_variant_get(base, path, "array<variant>"),
-                "keys": F.json_object_keys(sub.cast("string")),
-                "entries": F.map_entries(
-                    F.try_variant_get(base, path, "map<string, variant>")
+                "dbl": given.get(
+                    "dbl", F.try_variant_get(base, path, "double")
+                ),
+                "sstr": given.get(
+                    "sstr", F.try_variant_get(base, path, "string")
+                ),
+                "arr_v": given.get(
+                    "arr_v", F.try_variant_get(base, path, "array<variant>")
+                ),
+                "keys": given.get(
+                    "keys", F.json_object_keys(sub.cast("string"))
+                ),
+                "entries": given.get(
+                    "entries",
+                    F.map_entries(
+                        F.try_variant_get(base, path, "map<string, variant>")
+                    ),
                 ),
             }
             wanted = [
-                ("dbl", need_dbl),
-                ("sstr", need_sstr),
-                ("arr_v", arr_kw),
-                ("keys", obj_kw),
-                ("entries", need_entries),
+                ("dbl", need_dbl and "dbl" not in given),
+                ("sstr", need_sstr and "sstr" not in given),
+                ("arr_v", arr_kw and "arr_v" not in given),
+                ("keys", obj_kw and "keys" not in given),
+                ("entries", need_entries and "entries" not in given),
             ]
+
+            bound: set = set(given)
 
             def go(i: int) -> Column:
                 if i == len(wanted):
+                    # pass this node's SHARED slots down: same-path
+                    # sub-schemas (combinators, not, if/then/else,
+                    # schema-form dependencies) reuse them instead of
+                    # re-extracting per member. Only actually-shared
+                    # columns are passed — an unshared raw expression
+                    # must stay absent so the child binds it itself.
+                    child_slots = {"sub": sub, "tag": tag}
+                    for nm in ("dbl", "sstr", "arr_v", "keys", "entries"):
+                        if nm in bound:
+                            child_slots[nm] = slots[nm]
                     return _schema_pred_body(
                         schema, base, path, sub, tag,
                         slots["dbl"], slots["sstr"], slots["arr_v"],
-                        slots["keys"], slots["entries"],
+                        slots["keys"], slots["entries"], child_slots,
                     )
                 name, needed = wanted[i]
                 if not needed:
@@ -700,14 +742,19 @@ def _let_chain_pred(schema: dict, base: Column, path: str) -> Column:
 
                 def bind(x: Column) -> Column:
                     slots[name] = x
+                    bound.add(name)
                     return go(i + 1)
 
                 return let_col(slots[name], bind)
 
             return go(0)
 
+        if "tag" in given:
+            return with_tag(given["tag"])
         return let_col(_variant_type_tag(sub), with_tag)
 
+    if "sub" in given:
+        return with_sub(given["sub"])
     return let_col(F.try_variant_get(base, path, "variant"), with_sub)
 
 
@@ -722,9 +769,13 @@ def _schema_pred_body(
     arr_v: Column,
     keys: Column,
     entries: Column,
+    child_slots: Optional[dict] = None,
 ) -> Column:
     """The keyword predicates of one :func:`_schema_pred` node, built
-    over the (let-bound) shared extraction columns."""
+    over the (let-bound) shared extraction columns. ``child_slots``
+    is forwarded to SAME-path sub-schema recursions (combinators,
+    ``not``, ``if``/``then``/``else``, schema-form dependencies) so
+    members reuse this node's bindings instead of re-extracting."""
     not_num = ~tag.isin("integer", "number")
     preds: list[Column] = []
 
@@ -927,7 +978,8 @@ def _schema_pred_body(
                     preds.append(
                         ~present
                         | F.coalesce(
-                            _schema_pred(dep, base, path), F.lit(False)
+                            _schema_pred(dep, base, path, child_slots),
+                            F.lit(False),
                         )
                     )
                 else:
@@ -938,23 +990,34 @@ def _schema_pred_body(
 
     # if/then/else: (P(if) → P(then)) ∧ (¬P(if) → P(else))
     if isinstance(schema.get("if"), dict):
-        cond = F.coalesce(_schema_pred(schema["if"], base, path), F.lit(False))
+        cond = F.coalesce(
+            _schema_pred(schema["if"], base, path, child_slots), F.lit(False)
+        )
         if isinstance(schema.get("then"), dict):
             preds.append(
                 ~cond
-                | F.coalesce(_schema_pred(schema["then"], base, path), F.lit(False))
+                | F.coalesce(
+                _schema_pred(schema["then"], base, path, child_slots),
+                F.lit(False),
+            )
             )
         if isinstance(schema.get("else"), dict):
             preds.append(
                 cond
-                | F.coalesce(_schema_pred(schema["else"], base, path), F.lit(False))
+                | F.coalesce(
+                _schema_pred(schema["else"], base, path, child_slots),
+                F.lit(False),
+            )
             )
 
     for comb in ("anyOf", "oneOf", "allOf"):
         subs = schema.get(comb)
         if subs:
             member_preds = [
-                F.coalesce(_schema_pred(s, base, path), F.lit(False)) for s in subs
+                F.coalesce(
+                    _schema_pred(s, base, path, child_slots), F.lit(False)
+                )
+                for s in subs
             ]
             if comb == "anyOf":
                 c = member_preds[0]
@@ -972,7 +1035,10 @@ def _schema_pred_body(
             preds.append(c)
     if "not" in schema:
         preds.append(
-            ~F.coalesce(_schema_pred(schema["not"], base, path), F.lit(False))
+            ~F.coalesce(
+                _schema_pred(schema["not"], base, path, child_slots),
+                F.lit(False),
+            )
         )
 
     if not preds:
@@ -1048,7 +1114,7 @@ def compile_json_schema_checks(
     # by Catalyst's column pruning.
     fkey = "js" + hashlib.md5(field.name.encode()).hexdigest()[:8]
     vname = f"__{fkey}_v"
-    lets_layers: tuple = ({}, {}, {})
+    lets_layers: tuple = ({}, {}, {}, {})
     _path_slots: dict = {}
     _key_slots: dict = {}
 
@@ -1068,13 +1134,20 @@ def compile_json_schema_checks(
         if s is None:
             i = len(_path_slots)
             sub_n = f"__{fkey}_p{i}_sub"
+            sos_n = f"__{fkey}_p{i}_sos"
             tag_n = f"__{fkey}_p{i}_tag"
             dbl_n = f"__{fkey}_p{i}_dbl"
             str_n = f"__{fkey}_p{i}_str"
             lets_layers[1][sub_n] = F.try_variant_get(_v(), path, "variant")
             lets_layers[1][dbl_n] = F.try_variant_get(_v(), path, "double")
             lets_layers[1][str_n] = F.try_variant_get(_v(), path, "string")
-            lets_layers[2][tag_n] = _variant_type_tag(F.col(sub_n))
+            # schema string as its OWN layer-2 column so the layer-3
+            # tag is a pure codegen CaseWhen — a let-binding here would
+            # force the consuming projection interpreted
+            lets_layers[2][sos_n] = F.schema_of_variant(F.col(sub_n))
+            lets_layers[3][tag_n] = _variant_type_tag_from(
+                F.col(sub_n), F.col(sos_n)
+            )
             s = _path_slots[path] = (sub_n, tag_n, dbl_n, str_n)
         return s
 
@@ -1100,6 +1173,18 @@ def compile_json_schema_checks(
             lets_layers[1][name] = F.json_object_keys(parent_json)
             _key_slots[json_path] = name
         return name
+
+    def _slot_cols(path: str) -> dict:
+        """Materialized slot columns for a path, in the form
+        :func:`_schema_pred` accepts as ``slots`` — same-path schema
+        nodes then reference projection columns instead of binding."""
+        sub_n, tag_n, dbl_n, str_n = _slot(path)
+        return {
+            "sub": F.col(sub_n),
+            "tag": F.col(tag_n),
+            "dbl": F.col(dbl_n),
+            "sstr": F.col(str_n),
+        }
 
     def add(kind: str, issue_type: str, message: str, ok) -> None:
         # ``ok`` may be a 1-arg builder over the shared parse column
@@ -1143,7 +1228,8 @@ def compile_json_schema_checks(
                     col.isNull()
                     | vv.isNull()
                     | F.coalesce(
-                        _schema_pred({"type": _t}, vv, "$"), F.lit(False)
+                        _schema_pred({"type": _t}, vv, "$", _slot_cols("$")),
+                        F.lit(False),
                     )
                 )
 
@@ -1376,7 +1462,8 @@ def compile_json_schema_checks(
                                 | sub.isNull()
                                 | F.coalesce(
                                     _schema_pred(
-                                        {"items": _rest}, vv, _path
+                                        {"items": _rest}, vv, _path,
+                                        _slot_cols(_path),
                                     ),
                                     F.lit(False),
                                 )
@@ -1407,7 +1494,10 @@ def compile_json_schema_checks(
                             col.isNull()
                             | sub.isNull()
                             | F.coalesce(
-                                _schema_pred(_mini, vv, _path), F.lit(False)
+                                _schema_pred(
+                                    _mini, vv, _path, _slot_cols(_path)
+                                ),
+                                F.lit(False),
                             )
                         )
 
@@ -1437,7 +1527,10 @@ def compile_json_schema_checks(
                             sub = F.col(_slot(_path)[0])  # shared per-path slot
                             member = [
                                 F.coalesce(
-                                    _schema_pred(s, vv, _path), F.lit(False)
+                                    _schema_pred(
+                                        s, vv, _path, _slot_cols(_path)
+                                    ),
+                                    F.lit(False),
                                 )
                                 for s in _subs
                             ]
@@ -1473,7 +1566,10 @@ def compile_json_schema_checks(
                             col.isNull()
                             | sub.isNull()
                             | ~F.coalesce(
-                                _schema_pred(_s, vv, _path), F.lit(False)
+                                _schema_pred(
+                                    _s, vv, _path, _slot_cols(_path)
+                                ),
+                                F.lit(False),
                             )
                         )
 
@@ -1545,7 +1641,10 @@ def compile_json_schema_checks(
                             col.isNull()
                             | sub.isNull()
                             | F.coalesce(
-                                _schema_pred(_mini, vv, _path), F.lit(False)
+                                _schema_pred(
+                                    _mini, vv, _path, _slot_cols(_path)
+                                ),
+                                F.lit(False),
                             )
                         )
 
@@ -1573,7 +1672,10 @@ def compile_json_schema_checks(
         def root_comb_ok(_subs, _comb):
             def ok_of(vv):
                 member = [
-                    F.coalesce(_schema_pred(s, vv, "$"), F.lit(False))
+                    F.coalesce(
+                        _schema_pred(s, vv, "$", _slot_cols("$")),
+                        F.lit(False),
+                    )
                     for s in _subs
                 ]
                 if _comb == "anyOf":
@@ -1601,7 +1703,10 @@ def compile_json_schema_checks(
                 return (
                     col.isNull()
                     | vv.isNull()
-                    | ~F.coalesce(_schema_pred(_s, vv, "$"), F.lit(False))
+                    | ~F.coalesce(
+                        _schema_pred(_s, vv, "$", _slot_cols("$")),
+                        F.lit(False),
+                    )
                 )
 
             return ok_of
@@ -1669,7 +1774,10 @@ def compile_json_schema_checks(
                 return (
                     col.isNull()
                     | vv.isNull()
-                    | F.coalesce(_schema_pred(_mini, vv, "$"), F.lit(False))
+                    | F.coalesce(
+                        _schema_pred(_mini, vv, "$", _slot_cols("$")),
+                        F.lit(False),
+                    )
                 )
 
             return ok_of
@@ -1686,7 +1794,10 @@ def compile_json_schema_checks(
                 return (
                     col.isNull()
                     | vv.isNull()
-                    | F.coalesce(_schema_pred(_mini, vv, "$"), F.lit(False))
+                    | F.coalesce(
+                        _schema_pred(_mini, vv, "$", _slot_cols("$")),
+                        F.lit(False),
+                    )
                 )
 
             return ok_of
@@ -1727,7 +1838,8 @@ def compile_json_schema_checks(
                     col.isNull()
                     | vv.isNull()
                     | F.coalesce(
-                        _schema_pred({"items": _rest}, vv, "$"), F.lit(False)
+                        _schema_pred({"items": _rest}, vv, "$", _slot_cols("$")),
+                        F.lit(False),
                     )
                 )
 

@@ -1114,23 +1114,21 @@ def q30_json_props(spark, sf_dir):
     C2 'object' validity — get_json_object / try_parse_json."""
     ev = _t(spark, sf_dir, "events")
     # ONE parse per row: validity and $.k both come off the same
-    # let-bound variant (get_json_object + try_parse_json each parsed
-    # the full document — 2 parses/row for one scalar and a flag).
-    # try_variant_get(.., "long") == get_json_object(..).cast("long")
-    # on integer-valued k (BIGINT variant → long; absent/invalid →
-    # NULL either way) — oracle-verified at sf0.01/sf0.1.
-    row = F.transform(
-        F.array(F.try_parse_json(F.col("props"))),
-        lambda vv: F.struct(
-            vv.isNotNull().alias("valid"),
-            F.try_variant_get(vv, "$.k", "long").alias("k"),
-        ),
-    )[0]
+    # MATERIALIZED variant column (get_json_object + try_parse_json
+    # each parsed the full document — 2 parses/row for one scalar and
+    # a flag; a let-binding would force the whole expression
+    # interpreted, while the two-project shape keeps the parse in
+    # codegen and CollapseProject leaves multi-referenced non-cheap
+    # aliases alone). try_variant_get(.., "long") ==
+    # get_json_object(..).cast("long") on integer-valued k (BIGINT
+    # variant → long; absent/invalid → NULL either way) —
+    # oracle-verified at sf0.01/sf0.1.
     return (
-        ev.select(
+        ev.withColumn("_v", F.try_parse_json(F.col("props")))
+        .select(
             "event_type",
-            row["k"].alias("_k"),
-            row["valid"].alias("_valid"),
+            F.try_variant_get(F.col("_v"), "$.k", "long").alias("_k"),
+            F.col("_v").isNotNull().alias("_valid"),
         )
         .groupBy("event_type")
         .agg(
